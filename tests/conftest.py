@@ -16,3 +16,16 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# Persistent compilation cache: scan/remat/cond graphs compile slowly on the
+# CPU backend; cache across test runs.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+# Some TPU environments register a platform plugin that programmatically
+# overrides JAX_PLATFORMS; force the CPU platform explicitly so tests never
+# contend for (or depend on) a real chip.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,230 @@
+"""Checkpoint IO: OpenAI-whisper ``.pt`` format <-> JAX param pytrees.
+
+The reference's whole model lifecycle rides on the OpenAI checkpoint dict
+``{"model_state_dict": ..., "dims": ...}``: loading pretrained bases
+(model_utils.py:330-379), saving best/step/last checkpoints in fp16
+(model_utils.py:130-135), LoRA merging (merge_lora_weights.py) and the
+HF/CTranslate2 deployment conversion (upload_model_to_hub.py). We keep that
+format bit-for-bit so every downstream consumer (``whisper.load_model``,
+faster-whisper, CT2 conversion) works on our outputs unchanged, while the
+in-memory representation is the stacked-layer pytree of
+:mod:`whisper_finetune_tpu.models.whisper`.
+
+torch is used only here (CPU, for (de)serialization of the zipfile pickle
+format); nothing in the compute path touches it.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whisper_finetune_tpu.models.dims import ModelDimensions, get_preset_dims
+from whisper_finetune_tpu.models.whisper import Params, sinusoids
+
+# (our block-param path) -> (openai per-layer suffix, needs_transpose)
+_BLOCK_MAP = [
+    (("attn", "q_w"), "attn.query.weight", True),
+    (("attn", "q_b"), "attn.query.bias", False),
+    (("attn", "k_w"), "attn.key.weight", True),
+    (("attn", "v_w"), "attn.value.weight", True),
+    (("attn", "v_b"), "attn.value.bias", False),
+    (("attn", "o_w"), "attn.out.weight", True),
+    (("attn", "o_b"), "attn.out.bias", False),
+    (("attn_ln", "scale"), "attn_ln.weight", False),
+    (("attn_ln", "bias"), "attn_ln.bias", False),
+    (("mlp", "fc1_w"), "mlp.0.weight", True),
+    (("mlp", "fc1_b"), "mlp.0.bias", False),
+    (("mlp", "fc2_w"), "mlp.2.weight", True),
+    (("mlp", "fc2_b"), "mlp.2.bias", False),
+    (("mlp_ln", "scale"), "mlp_ln.weight", False),
+    (("mlp_ln", "bias"), "mlp_ln.bias", False),
+]
+
+_CROSS_MAP = [
+    (("cross_attn", "q_w"), "cross_attn.query.weight", True),
+    (("cross_attn", "q_b"), "cross_attn.query.bias", False),
+    (("cross_attn", "k_w"), "cross_attn.key.weight", True),
+    (("cross_attn", "v_w"), "cross_attn.value.weight", True),
+    (("cross_attn", "v_b"), "cross_attn.value.bias", False),
+    (("cross_attn", "o_w"), "cross_attn.out.weight", True),
+    (("cross_attn", "o_b"), "cross_attn.out.bias", False),
+    (("cross_attn_ln", "scale"), "cross_attn_ln.weight", False),
+    (("cross_attn_ln", "bias"), "cross_attn_ln.bias", False),
+]
+
+
+def _get(tree: Dict[str, Any], path: Tuple[str, ...]):
+    for k in path:
+        tree = tree[k]
+    return tree
+
+
+def _set(tree: Dict[str, Any], path: Tuple[str, ...], value):
+    for k in path[:-1]:
+        tree = tree.setdefault(k, {})
+    tree[path[-1]] = value
+
+
+def _to_numpy(t) -> np.ndarray:
+    if hasattr(t, "detach"):  # torch tensor
+        return t.detach().to("cpu").float().numpy()
+    return np.asarray(t, dtype=np.float32)
+
+
+def state_dict_to_params(
+    state_dict: Dict[str, Any], dims: ModelDimensions
+) -> Params:
+    """Convert an OpenAI-whisper state dict (torch tensors or numpy arrays)
+    into the stacked-layer JAX pytree."""
+
+    def grab(name: str, transpose: bool = False) -> jnp.ndarray:
+        arr = _to_numpy(state_dict[name])
+        if transpose:
+            arr = arr.T
+        return jnp.asarray(arr)
+
+    params: Dict[str, Any] = {"encoder": {}, "decoder": {}}
+
+    # conv weights: torch (out, in, k) -> ours (k, in, out)
+    for conv in ("conv1", "conv2"):
+        w = _to_numpy(state_dict[f"encoder.{conv}.weight"]).transpose(2, 1, 0)
+        params["encoder"][conv] = {
+            "w": jnp.asarray(w),
+            "b": grab(f"encoder.{conv}.bias"),
+        }
+    params["encoder"]["ln_post"] = {
+        "scale": grab("encoder.ln_post.weight"),
+        "bias": grab("encoder.ln_post.bias"),
+    }
+    params["decoder"]["tok_emb"] = grab("decoder.token_embedding.weight")
+    params["decoder"]["pos_emb"] = grab("decoder.positional_embedding")
+    params["decoder"]["ln"] = {
+        "scale": grab("decoder.ln.weight"),
+        "bias": grab("decoder.ln.bias"),
+    }
+
+    for side, n_layers, maps in (
+        ("encoder", dims.n_audio_layer, _BLOCK_MAP),
+        ("decoder", dims.n_text_layer, _BLOCK_MAP + _CROSS_MAP),
+    ):
+        blocks: Dict[str, Any] = {}
+        for path, suffix, transpose in maps:
+            layers = [
+                _to_numpy(state_dict[f"{side}.blocks.{i}.{suffix}"])
+                for i in range(n_layers)
+            ]
+            stacked = np.stack(
+                [a.T if transpose else a for a in layers], axis=0
+            )
+            _set(blocks, path, jnp.asarray(stacked))
+        params[side]["blocks"] = blocks
+
+    return params
+
+
+def params_to_state_dict(
+    params: Params, dims: ModelDimensions, np_dtype=np.float16
+) -> Dict[str, np.ndarray]:
+    """Convert the JAX pytree back to an OpenAI-whisper state dict (numpy
+    arrays; fp16 by default, matching the reference's ``save_model`` which
+    halves before saving, model_utils.py:130-135)."""
+    out: Dict[str, np.ndarray] = {}
+
+    def put(name: str, arr, transpose: bool = False):
+        a = np.asarray(arr, dtype=np.float32)
+        if transpose:
+            a = a.T
+        out[name] = a.astype(np_dtype)
+
+    enc, dec = params["encoder"], params["decoder"]
+    for conv in ("conv1", "conv2"):
+        put(f"encoder.{conv}.weight", np.asarray(enc[conv]["w"]).transpose(2, 1, 0))
+        put(f"encoder.{conv}.bias", enc[conv]["b"])
+    # Sinusoidal buffer is part of the official state dict.
+    put(
+        "encoder.positional_embedding",
+        sinusoids(dims.n_audio_ctx, dims.n_audio_state),
+    )
+    put("encoder.ln_post.weight", enc["ln_post"]["scale"])
+    put("encoder.ln_post.bias", enc["ln_post"]["bias"])
+    put("decoder.token_embedding.weight", dec["tok_emb"])
+    put("decoder.positional_embedding", dec["pos_emb"])
+    put("decoder.ln.weight", dec["ln"]["scale"])
+    put("decoder.ln.bias", dec["ln"]["bias"])
+
+    for side, n_layers, maps in (
+        ("encoder", dims.n_audio_layer, _BLOCK_MAP),
+        ("decoder", dims.n_text_layer, _BLOCK_MAP + _CROSS_MAP),
+    ):
+        blocks = params[side]["blocks"]
+        for path, suffix, transpose in maps:
+            stacked = np.asarray(_get(blocks, path))
+            for i in range(n_layers):
+                put(f"{side}.blocks.{i}.{suffix}", stacked[i], transpose=transpose)
+
+    return out
+
+
+def load_checkpoint(path: str) -> Tuple[Params, ModelDimensions]:
+    """Load an OpenAI-format ``.pt`` checkpoint file into (params, dims)."""
+    import torch
+
+    with open(path, "rb") as fp:
+        ckpt = torch.load(fp, map_location="cpu")
+    if "dims" not in ckpt or "model_state_dict" not in ckpt:
+        raise ValueError(
+            f"{path} is not an OpenAI-whisper checkpoint "
+            "(missing 'dims'/'model_state_dict')"
+        )
+    dims = ModelDimensions.from_dict(ckpt["dims"])
+    params = state_dict_to_params(ckpt["model_state_dict"], dims)
+    return params, dims
+
+
+def save_checkpoint(path: str, params: Params, dims: ModelDimensions) -> None:
+    """Write ``{"model_state_dict", "dims"}`` in fp16, loadable by
+    ``whisper.load_model`` (the reference's output contract)."""
+    import torch
+
+    params = jax.device_get(params)
+    state = params_to_state_dict(params, dims)
+    tensors = {k: torch.from_numpy(v.copy()) for k, v in state.items()}
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    torch.save({"model_state_dict": tensors, "dims": dims.to_dict()}, path)
+
+
+def load_model(name: str) -> Tuple[Params, ModelDimensions]:
+    """Resolve a model by checkpoint path or preset name.
+
+    The reference's ``whisper.load_model(name)`` downloads official weights;
+    in this offline-first framework, a file path loads that checkpoint and a
+    preset name (``tiny`` .. ``large-v3-turbo``) either loads
+    ``$WHISPER_CHECKPOINT_DIR/<name>.pt`` if present or falls back to random
+    initialization with the preset's architecture.
+    """
+    if os.path.isfile(name):
+        return load_checkpoint(name)
+
+    dims = get_preset_dims(name)
+    if dims is None:
+        raise ValueError(f"Unknown model name or missing checkpoint file: {name}")
+
+    ckpt_dir = os.environ.get("WHISPER_CHECKPOINT_DIR")
+    if ckpt_dir:
+        candidate = os.path.join(ckpt_dir, f"{name}.pt")
+        if os.path.isfile(candidate):
+            return load_checkpoint(candidate)
+
+    from whisper_finetune_tpu.models.whisper import init_params
+
+    print(
+        f"No local checkpoint for '{name}'; initializing {name} architecture "
+        "with random weights (set WHISPER_CHECKPOINT_DIR for pretrained)."
+    )
+    params = init_params(jax.random.PRNGKey(0), dims)
+    return params, dims

@@ -1,0 +1,475 @@
+"""Whisper encoder-decoder, TPU-first.
+
+A pure-functional JAX re-design of the capabilities of the reference's model
+layer (openai-whisper modules wrapped by
+src/whisper_finetune/model/model_utils.py): parameters are a plain pytree,
+layers are stacked on a leading axis and executed with ``lax.scan`` (one
+compiled block body regardless of depth — 4-layer tiny and 32-layer large-v3
+compile in the same time and XLA pipelines the weight fetches), and the
+training-time behaviours the reference implements as module subclasses and
+hooks are first-class traced features here:
+
+* gradient checkpointing (reference ``CheckpointedStochastic*`` modules,
+  model_utils.py:253-327)      -> ``jax.checkpoint`` over the scanned body,
+* stochastic depth (model_utils.py:220-250) -> per-layer scalar Bernoulli
+  drawn from the step key, whole-layer ``lax.cond`` skip with the reference's
+  ``x + (block(x) - x) / keep_prob`` residual rescale,
+* deep SpecAugment (model_utils.py:382-431) -> time+feature masking of the
+  ``attn_ln`` output inside flagged encoder layers, gated by one
+  per-forward Bernoulli so "checkpoint recompute sees the same decision"
+  holds by construction (randomness is an explicit input, not module state).
+
+Precision policy replaces torch AMP/autocast: parameters are fp32, matmuls
+and convs run in ``compute_dtype`` (bf16 on TPU), layer norms and softmax in
+fp32, and the final logits are fp32 via the tied embedding (matching the
+reference's fp32 logit cast at model_utils.py:325).
+
+Weight layout: linear kernels are stored (in, out) — transposed from
+torch's (out, in) — so the forward pass is pure right-multiplication on the
+MXU; conv kernels are (width, in, out) for NWC convolutions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whisper_finetune_tpu.models.dims import ModelDimensions
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Static forward configuration
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class ForwardConfig:
+    """Hashable, trace-time-static switches for the model forward."""
+
+    compute_dtype: str = "bfloat16"
+    remat_encoder: bool = True
+    remat_encoder_last_only: bool = False
+    remat_decoder: bool = True
+    stochastic_depth: float = 0.0
+    # Deep SpecAugment (encoder-internal masking of normalized activations).
+    dsa_apply: bool = False
+    dsa_time_mask_param: int = 100
+    dsa_freq_mask_param: int = 27
+    dsa_p: float = 1.0
+    # Per-encoder-layer application flags; None = reference default
+    # (every block except the last, model_utils.py:419-431).
+    dsa_layer_indices: Optional[Tuple[int, ...]] = None
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.compute_dtype)
+
+
+def dsa_layer_flags(fcfg: ForwardConfig, n_layers: int) -> np.ndarray:
+    """Boolean per-layer flags for deep SpecAugment, last layer always off."""
+    flags = np.zeros((n_layers,), dtype=bool)
+    if not fcfg.dsa_apply:
+        return flags
+    if fcfg.dsa_layer_indices is None:
+        flags[: max(n_layers - 1, 0)] = True
+        return flags
+    for idx in fcfg.dsa_layer_indices:
+        if idx >= n_layers:
+            raise ValueError(f"deep_spec_augment layer index {idx} out of range")
+        if idx == n_layers - 1:
+            continue  # reference skips the final block silently
+        flags[idx] = True
+    return flags
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+def sinusoids(length: int, channels: int, max_timescale: float = 10000.0) -> np.ndarray:
+    """Sinusoidal position embedding, identical recipe to openai-whisper."""
+    assert channels % 2 == 0
+    log_timescale_increment = np.log(max_timescale) / (channels // 2 - 1)
+    inv_timescales = np.exp(-log_timescale_increment * np.arange(channels // 2))
+    scaled_time = np.arange(length)[:, None] * inv_timescales[None, :]
+    return np.concatenate([np.sin(scaled_time), np.cos(scaled_time)], axis=1).astype(
+        np.float32
+    )
+
+
+def _linear_init(key, fan_in: int, shape) -> jnp.ndarray:
+    bound = 1.0 / np.sqrt(fan_in)
+    return jax.random.uniform(key, shape, jnp.float32, -bound, bound)
+
+
+def _init_attn(key, d: int) -> Params:
+    ks = jax.random.split(key, 7)
+    return {
+        "q_w": _linear_init(ks[0], d, (d, d)),
+        "q_b": jnp.zeros((d,), jnp.float32),
+        "k_w": _linear_init(ks[1], d, (d, d)),
+        "v_w": _linear_init(ks[2], d, (d, d)),
+        "v_b": jnp.zeros((d,), jnp.float32),
+        "o_w": _linear_init(ks[3], d, (d, d)),
+        "o_b": jnp.zeros((d,), jnp.float32),
+    }
+
+
+def _init_ln(d: int) -> Params:
+    return {"scale": jnp.ones((d,), jnp.float32), "bias": jnp.zeros((d,), jnp.float32)}
+
+
+def _init_block(key, d: int, cross: bool) -> Params:
+    ks = jax.random.split(key, 4)
+    block = {
+        "attn": _init_attn(ks[0], d),
+        "attn_ln": _init_ln(d),
+        "mlp": {
+            "fc1_w": _linear_init(ks[1], d, (d, 4 * d)),
+            "fc1_b": jnp.zeros((4 * d,), jnp.float32),
+            "fc2_w": _linear_init(ks[2], 4 * d, (4 * d, d)),
+            "fc2_b": jnp.zeros((d,), jnp.float32),
+        },
+        "mlp_ln": _init_ln(d),
+    }
+    if cross:
+        block["cross_attn"] = _init_attn(ks[3], d)
+        block["cross_attn_ln"] = _init_ln(d)
+    return block
+
+
+def _stack_blocks(blocks) -> Params:
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *blocks)
+
+
+def init_params(key: jax.Array, dims: ModelDimensions) -> Params:
+    """Random initialization (torch-Linear-style uniform) for all weights.
+
+    Production runs load pretrained OpenAI checkpoints via
+    :mod:`whisper_finetune_tpu.models.checkpoint`; random init backs tests and
+    from-scratch experiments.
+    """
+    d_a, d_t = dims.n_audio_state, dims.n_text_state
+    keys = jax.random.split(key, 6)
+
+    enc_blocks = [
+        _init_block(k, d_a, cross=False)
+        for k in jax.random.split(keys[0], dims.n_audio_layer)
+    ]
+    dec_blocks = [
+        _init_block(k, d_t, cross=True)
+        for k in jax.random.split(keys[1], dims.n_text_layer)
+    ]
+
+    conv_keys = jax.random.split(keys[2], 2)
+    encoder = {
+        "conv1": {
+            "w": _linear_init(conv_keys[0], dims.n_mels * 3, (3, dims.n_mels, d_a)),
+            "b": jnp.zeros((d_a,), jnp.float32),
+        },
+        "conv2": {
+            "w": _linear_init(conv_keys[1], d_a * 3, (3, d_a, d_a)),
+            "b": jnp.zeros((d_a,), jnp.float32),
+        },
+        "blocks": _stack_blocks(enc_blocks),
+        "ln_post": _init_ln(d_a),
+    }
+    decoder = {
+        "tok_emb": jax.random.normal(keys[3], (dims.n_vocab, d_t), jnp.float32) * 0.02,
+        "pos_emb": jax.random.normal(keys[4], (dims.n_text_ctx, d_t), jnp.float32)
+        * 0.01,
+        "blocks": _stack_blocks(dec_blocks),
+        "ln": _init_ln(d_t),
+    }
+    return {"encoder": encoder, "decoder": decoder}
+
+
+# ---------------------------------------------------------------------------
+# Core ops
+# ---------------------------------------------------------------------------
+
+def layer_norm(x: jnp.ndarray, p: Params, eps: float = 1e-5) -> jnp.ndarray:
+    """LayerNorm computed in fp32, result cast back to x.dtype (whisper's
+    LayerNorm subclass semantics)."""
+    orig_dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(orig_dtype)
+
+
+def _dense(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray], dtype) -> jnp.ndarray:
+    y = jnp.matmul(x.astype(dtype), w.astype(dtype))
+    if b is not None:
+        y = y + b.astype(dtype)
+    return y
+
+
+def multi_head_attention(
+    x: jnp.ndarray,
+    kv: jnp.ndarray,
+    p: Params,
+    n_head: int,
+    dtype,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Whisper-convention MHA: q and k each pre-scaled by d_head**-0.25,
+    fp32 softmax (openai-whisper ``qkv_attention`` semantics)."""
+    B, T, d = x.shape
+    S = kv.shape[1]
+    d_head = d // n_head
+    scale = d_head ** -0.25
+
+    q = _dense(x, p["q_w"], p["q_b"], dtype).reshape(B, T, n_head, d_head)
+    k = _dense(kv, p["k_w"], None, dtype).reshape(B, S, n_head, d_head)
+    v = _dense(kv, p["v_w"], p["v_b"], dtype).reshape(B, S, n_head, d_head)
+
+    qk = jnp.einsum(
+        "bthd,bshd->bhts", q * scale, k * scale,
+        preferred_element_type=jnp.float32,
+    )
+    if mask is not None:
+        qk = qk + mask[None, None, :T, :S]
+    w = jax.nn.softmax(qk, axis=-1).astype(dtype)
+    o = jnp.einsum("bhts,bshd->bthd", w, v).reshape(B, T, d)
+    return _dense(o, p["o_w"], p["o_b"], dtype)
+
+
+def _mlp(x: jnp.ndarray, p: Params, dtype) -> jnp.ndarray:
+    h = _dense(x, p["fc1_w"], p["fc1_b"], dtype)
+    h = jax.nn.gelu(h, approximate=False)
+    return _dense(h, p["fc2_w"], p["fc2_b"], dtype)
+
+
+def _axis_mask(key: jax.Array, size: int, mask_param: int) -> jnp.ndarray:
+    """torchaudio-style axis masking: width ~ U[0, mask_param), start
+    ~ U[0, size - width); returns a {0,1} keep-vector of length ``size``."""
+    k1, k2 = jax.random.split(key)
+    width = jax.random.uniform(k1) * mask_param
+    start = jax.random.uniform(k2) * (size - width)
+    idx = jnp.arange(size, dtype=jnp.float32)
+    masked = (idx >= start) & (idx < start + width)
+    return jnp.where(masked, 0.0, 1.0)
+
+
+def _deep_spec_augment(x: jnp.ndarray, key: jax.Array, fcfg: ForwardConfig) -> jnp.ndarray:
+    """Mask a random time span and a random feature span of (B, T, d)
+    activations — the reference's per-block hook applies TimeMasking then
+    FrequencyMasking on the (B, d, T) permutation with a batch-shared mask
+    (model_utils.py:404-417)."""
+    B, T, d = x.shape
+    kt, kf = jax.random.split(key)
+    time_keep = _axis_mask(kt, T, fcfg.dsa_time_mask_param).astype(x.dtype)
+    feat_keep = _axis_mask(kf, d, fcfg.dsa_freq_mask_param).astype(x.dtype)
+    return x * time_keep[None, :, None] * feat_keep[None, None, :]
+
+
+# ---------------------------------------------------------------------------
+# Transformer blocks (scan bodies)
+# ---------------------------------------------------------------------------
+
+def _encoder_block(
+    x: jnp.ndarray,
+    bp: Params,
+    fcfg: ForwardConfig,
+    n_head: int,
+    dsa_on: jnp.ndarray,
+    dsa_key: jax.Array,
+    train: bool,
+) -> jnp.ndarray:
+    dtype = fcfg.dtype
+    x_ln = layer_norm(x, bp["attn_ln"])
+    if train and fcfg.dsa_apply:
+        masked = _deep_spec_augment(x_ln, dsa_key, fcfg)
+        x_ln = jnp.where(dsa_on, masked, x_ln)
+    x = x + multi_head_attention(x_ln, x_ln, bp["attn"], n_head, dtype)
+    x = x + _mlp(layer_norm(x, bp["mlp_ln"]), bp["mlp"], dtype)
+    return x
+
+
+def _decoder_block(
+    x: jnp.ndarray,
+    bp: Params,
+    xa: jnp.ndarray,
+    causal_mask: jnp.ndarray,
+    fcfg: ForwardConfig,
+    n_head: int,
+) -> jnp.ndarray:
+    dtype = fcfg.dtype
+    x_ln = layer_norm(x, bp["attn_ln"])
+    x = x + multi_head_attention(
+        x_ln, x_ln, bp["attn"], n_head, dtype, mask=causal_mask
+    )
+    x = x + multi_head_attention(
+        layer_norm(x, bp["cross_attn_ln"]), xa, bp["cross_attn"], n_head, dtype
+    )
+    x = x + _mlp(layer_norm(x, bp["mlp_ln"]), bp["mlp"], dtype)
+    return x
+
+
+def _stochastic_wrap(x, run_block, sd_key, p: float, train: bool):
+    """Reference stochastic-depth semantics (model_utils.py:226-250): with
+    probability p skip the block entirely; otherwise rescale the residual
+    delta by 1/(1-p). One scalar coin per (layer, step), shared across the
+    batch. ``lax.cond`` ensures the skipped branch costs nothing at runtime.
+    """
+    if not train or p <= 0.0:
+        return run_block(x)
+    keep_prob = 1.0 - p
+    skip = jax.random.uniform(sd_key) < p
+
+    def skipped(x):
+        return x
+
+    def kept(x):
+        out = run_block(x)
+        return x + (out - x) / keep_prob
+
+    return jax.lax.cond(skip, skipped, kept, x)
+
+
+# ---------------------------------------------------------------------------
+# Encoder / decoder forwards
+# ---------------------------------------------------------------------------
+
+def encoder_forward(
+    params: Params,
+    mel: jnp.ndarray,
+    dims: ModelDimensions,
+    fcfg: ForwardConfig,
+    rng: Optional[jax.Array] = None,
+    train: bool = False,
+) -> jnp.ndarray:
+    """mel (B, n_mels, 3000) -> audio features (B, n_audio_ctx, d), fp32."""
+    enc = params["encoder"]
+    dtype = fcfg.dtype
+    n_head = dims.n_audio_head
+    L = dims.n_audio_layer
+
+    x = jnp.swapaxes(mel, -1, -2).astype(dtype)  # (B, T_samples/hop, n_mels)
+    x = jax.lax.conv_general_dilated(
+        x, enc["conv1"]["w"].astype(dtype), window_strides=(1,),
+        padding=((1, 1),), dimension_numbers=("NWC", "WIO", "NWC"),
+    ) + enc["conv1"]["b"].astype(dtype)
+    x = jax.nn.gelu(x, approximate=False)
+    x = jax.lax.conv_general_dilated(
+        x, enc["conv2"]["w"].astype(dtype), window_strides=(2,),
+        padding=((1, 1),), dimension_numbers=("NWC", "WIO", "NWC"),
+    ) + enc["conv2"]["b"].astype(dtype)
+    x = jax.nn.gelu(x, approximate=False)
+
+    pos = jnp.asarray(sinusoids(dims.n_audio_ctx, dims.n_audio_state))
+    x = (x + pos.astype(dtype)[None, : x.shape[1]]).astype(dtype)
+
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    gate_key, layers_key = jax.random.split(rng)
+    layer_keys = jax.random.split(layers_key, L * 2).reshape(L, 2, 2)
+    # One Bernoulli per encoder forward gates deep SpecAugment for all layers
+    # (reference forward-pre-hook, model_utils.py:404-407).
+    dsa_gate = jax.random.uniform(gate_key) < fcfg.dsa_p
+    dsa_flags = jnp.asarray(dsa_layer_flags(fcfg, L))
+
+    def body(x, scanned):
+        bp, keys, flag = scanned
+        dsa_on = jnp.logical_and(dsa_gate, flag)
+
+        def run(x):
+            return _encoder_block(x, bp, fcfg, n_head, dsa_on, keys[1], train)
+
+        x = _stochastic_wrap(x, run, keys[0], fcfg.stochastic_depth, train)
+        return x, None
+
+    scan_body = body
+    if fcfg.remat_encoder:
+        scan_body = jax.checkpoint(body, prevent_cse=False)
+
+    blocks = enc["blocks"]
+    if fcfg.remat_encoder_last_only and not fcfg.remat_encoder and L > 1:
+        head = jax.tree_util.tree_map(lambda a: a[:-1], blocks)
+        tail = jax.tree_util.tree_map(lambda a: a[-1], blocks)
+        x, _ = jax.lax.scan(body, x, (head, layer_keys[:-1], dsa_flags[:-1]))
+        rematted = jax.checkpoint(body, prevent_cse=False)
+        x, _ = rematted(x, (tail, layer_keys[-1], dsa_flags[-1]))
+    else:
+        x, _ = jax.lax.scan(scan_body, x, (blocks, layer_keys, dsa_flags))
+
+    return layer_norm(x, enc["ln_post"]).astype(jnp.float32)
+
+
+def decoder_forward(
+    params: Params,
+    tokens: jnp.ndarray,
+    xa: jnp.ndarray,
+    dims: ModelDimensions,
+    fcfg: ForwardConfig,
+    rng: Optional[jax.Array] = None,
+    train: bool = False,
+) -> jnp.ndarray:
+    """tokens (B, T) int32, xa (B, S, d) -> logits (B, T, n_vocab) fp32."""
+    dec = params["decoder"]
+    dtype = fcfg.dtype
+    n_head = dims.n_text_head
+    L = dims.n_text_layer
+    T = tokens.shape[-1]
+
+    x = dec["tok_emb"][tokens] + dec["pos_emb"][:T]
+    x = x.astype(dtype)
+    xa = xa.astype(dtype)
+
+    causal = jnp.triu(jnp.full((T, T), -jnp.inf, jnp.float32), k=1)
+
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    layer_keys = jax.random.split(rng, L)
+
+    def body(x, scanned):
+        bp, sd_key = scanned
+
+        def run(x):
+            return _decoder_block(x, bp, xa, causal, fcfg, n_head)
+
+        x = _stochastic_wrap(x, run, sd_key, fcfg.stochastic_depth, train)
+        return x, None
+
+    scan_body = body
+    if fcfg.remat_decoder:
+        scan_body = jax.checkpoint(body, prevent_cse=False)
+
+    x, _ = jax.lax.scan(scan_body, x, (dec["blocks"], layer_keys))
+
+    x = layer_norm(x, dec["ln"])
+    # Tied output embedding with fp32 logits (model_utils.py:325 semantics).
+    logits = jnp.matmul(
+        x.astype(dtype), dec["tok_emb"].T.astype(dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return logits.astype(jnp.float32)
+
+
+def forward_impl(
+    params: Params,
+    mel: jnp.ndarray,
+    tokens: jnp.ndarray,
+    dims: ModelDimensions,
+    fcfg: ForwardConfig,
+    rng: Optional[jax.Array] = None,
+    train: bool = False,
+) -> jnp.ndarray:
+    """Full teacher-forced forward: (mel, decoder tokens) -> fp32 logits."""
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    enc_rng, dec_rng = jax.random.split(rng)
+    xa = encoder_forward(params, mel, dims, fcfg, enc_rng, train)
+    return decoder_forward(params, tokens, xa, dims, fcfg, dec_rng, train)
+
+
+forward = partial(jax.jit, static_argnames=("dims", "fcfg", "train"))(forward_impl)

@@ -1,0 +1,221 @@
+"""The jitted training step: loss, gradient accumulation, data-parallel
+gradient averaging, optimizer update — one compiled program.
+
+Reference semantics being reproduced (src/whisper_finetune/model/model_utils.py:23-127):
+one optimizer step = ``local_accum_grad_steps`` microbatches, each
+contributing ``CE(logits, targets, label_smoothing, ignore -100) / accum``;
+gradients sync across data-parallel workers exactly once per optimizer step
+(the reference suppresses DDP allreduce with ``no_sync`` until the last
+microbatch; here the accumulation loop is a ``lax.scan`` inside ``shard_map``
+and the single sync is an explicit ``lax.pmean``); global-norm clipping before
+the update; the scheduler advances once per step (folded into the optax
+schedule by step count).
+
+TPU-first design notes:
+* There is no GradScaler/autocast — params are fp32, compute is bf16 via the
+  model's precision policy, which is the AMP-parity configuration on TPU.
+* Frozen parameters (LoRA, train_only_encoder/decoder; reference
+  utils.py:138-140, lora.py:14-27) are *partitioned out* of the
+  differentiated pytree rather than masked after the fact, so no gradient
+  memory or backward FLOPs are spent on them.
+* The whole step is donated: params and optimizer state update in place in
+  HBM.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from whisper_finetune_tpu.models.dims import ModelDimensions
+from whisper_finetune_tpu.models.whisper import ForwardConfig, forward_impl
+from whisper_finetune_tpu.parallel.mesh import DATA_AXIS
+
+Params = Any
+IGNORE_INDEX = -100
+
+
+class TrainState(NamedTuple):
+    trainable: Params  # leaves being optimized (None where frozen)
+    frozen: Params  # leaves held fixed (None where trainable)
+    opt_state: Any
+    step: jnp.ndarray  # scalar int32
+
+
+# ---------------------------------------------------------------------------
+# Parameter partitioning (frozen vs trainable)
+# ---------------------------------------------------------------------------
+
+def partition_params(params: Params, trainable_mask: Optional[Params]):
+    """Split params into (trainable, frozen) trees. ``trainable_mask`` is a
+    congruent pytree of bools; None means everything trains. ``None`` leaves
+    are empty pytree nodes in JAX, so gradients/optimizer state simply do not
+    exist for frozen parameters."""
+    if trainable_mask is None:
+        return params, jax.tree_util.tree_map(lambda _: None, params)
+    trainable = jax.tree_util.tree_map(
+        lambda p, m: p if m else None, params, trainable_mask
+    )
+    frozen = jax.tree_util.tree_map(
+        lambda p, m: None if m else p, params, trainable_mask
+    )
+    return trainable, frozen
+
+
+def combine_params(trainable: Params, frozen: Params) -> Params:
+    """Inverse of :func:`partition_params`."""
+    return jax.tree_util.tree_map(
+        lambda t, f: f if t is None else t,
+        trainable,
+        frozen,
+        is_leaf=lambda x: x is None,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Loss
+# ---------------------------------------------------------------------------
+
+def cross_entropy_loss(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    label_smoothing: float = 0.0,
+) -> jnp.ndarray:
+    """Label-smoothed cross entropy with ``-100`` ignore positions, numerics
+    matching ``torch.nn.functional.cross_entropy(..., label_smoothing=s,
+    ignore_index=-100)`` with mean reduction (reference model_utils.py:66).
+    """
+    mask = targets != IGNORE_INDEX
+    safe_targets = jnp.where(mask, targets, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_targets[..., None], axis=-1)[..., 0]
+    if label_smoothing > 0.0:
+        smooth = -jnp.mean(logp, axis=-1)
+        per_tok = (1.0 - label_smoothing) * nll + label_smoothing * smooth
+    else:
+        per_tok = nll
+    per_tok = jnp.where(mask, per_tok, 0.0)
+    count = jnp.maximum(jnp.sum(mask), 1)
+    return jnp.sum(per_tok) / count
+
+
+# ---------------------------------------------------------------------------
+# Train step factory
+# ---------------------------------------------------------------------------
+
+def make_train_step(
+    mesh: Mesh,
+    dims: ModelDimensions,
+    fcfg: ForwardConfig,
+    tx: optax.GradientTransformation,
+    label_smoothing: float = 0.0,
+) -> Callable[[TrainState, Dict[str, jnp.ndarray], jnp.ndarray], tuple]:
+    """Build the jitted data-parallel train step.
+
+    Batch arrays are shaped ``(accum_local, global_batch, ...)`` with the
+    global batch dimension sharded over the ``data`` mesh axis; each device
+    scans its local microbatches, sums gradients, and one ``lax.pmean``
+    produces the synchronized average — the reference's
+    no_sync-until-last-microbatch + DDP allreduce collapsed into its minimal
+    collective form.
+    """
+
+    def loss_fn(trainable, frozen, mel, dec_in, dec_out, rng):
+        params = combine_params(trainable, frozen)
+        logits = forward_impl(
+            params, mel, dec_in, dims, fcfg, rng=rng, train=True
+        )
+        return cross_entropy_loss(logits, dec_out, label_smoothing)
+
+    grad_fn = jax.value_and_grad(loss_fn)
+
+    def device_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jnp.ndarray):
+        # Per-device view: batch leaves (accum_local, local_B, ...).
+        accum_local = batch["mel"].shape[0]
+        dev_rng = jax.random.fold_in(
+            jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS)),
+            state.step,
+        )
+        micro_rngs = jax.random.split(dev_rng, accum_local)
+
+        zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.trainable)
+
+        def micro(carry, xs):
+            grad_sum, loss_sum = carry
+            mel, dec_in, dec_out, mrng = xs
+            loss, grads = grad_fn(
+                state.trainable, state.frozen, mel, dec_in, dec_out, mrng
+            )
+            grad_sum = jax.tree_util.tree_map(jnp.add, grad_sum, grads)
+            return (grad_sum, loss_sum + loss), None
+
+        (grad_sum, loss_sum), _ = jax.lax.scan(
+            micro,
+            (zero_grads, jnp.zeros((), jnp.float32)),
+            (batch["mel"], batch["dec_input"], batch["dec_output"], micro_rngs),
+        )
+
+        # One collective per optimizer step: average over microbatches and
+        # the data axis.
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.pmean(g / accum_local, DATA_AXIS), grad_sum
+        )
+        loss = jax.lax.pmean(loss_sum / accum_local, DATA_AXIS)
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
+        trainable = optax.apply_updates(state.trainable, updates)
+        new_state = TrainState(
+            trainable=trainable,
+            frozen=state.frozen,
+            opt_state=opt_state,
+            step=state.step + 1,
+        )
+        return new_state, loss
+
+    rep = P()
+    batch_spec = {k: P(None, DATA_AXIS) for k in ("mel", "dec_input", "dec_output")}
+
+    sharded = shard_map(
+        device_step,
+        mesh=mesh,
+        in_specs=(rep, batch_spec, rep),
+        out_specs=(rep, rep),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+def shard_batch(mesh: Mesh, batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """Place a host batch onto the mesh with the global batch axis (axis 1)
+    sharded over ``data`` — the input-pipeline replacement for the
+    reference's DistributedSampler + H2D copy (finetune.py:620-627,
+    model_utils.py:60-62)."""
+    sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+    return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+
+def make_eval_forward(
+    dims: ModelDimensions, fcfg: ForwardConfig
+) -> Callable[[Params, jnp.ndarray, jnp.ndarray], jnp.ndarray]:
+    """Teacher-forced eval forward (no generation — reference evaluator.py:69-73).
+    Returns fp32 logits."""
+    eval_fcfg = ForwardConfig(
+        compute_dtype=fcfg.compute_dtype,
+        remat_encoder=False,
+        remat_encoder_last_only=False,
+        remat_decoder=False,
+        stochastic_depth=0.0,
+        dsa_apply=False,
+    )
+
+    @jax.jit
+    def eval_forward(params, mel, dec_in):
+        return forward_impl(params, mel, dec_in, dims, eval_fcfg, train=False)
+
+    return eval_forward
