@@ -1,0 +1,295 @@
+"""Optimizer/scheduler tests: schedule parity vs transformers' reference
+implementations, torch AdamW trajectory parity, Newton-Schulz orthogonality,
+Muon partitioning and RMS-matched update magnitude."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from whisper_finetune_tpu.optim import (
+    get_optimizer,
+    get_schedule,
+    muon_param_labels,
+    newton_schulz_orthogonalize,
+    rms_match_scale,
+)
+
+TRAIN_STEPS = 60
+WARMUP = 10
+
+
+def _schedule_values(s_conf, n=TRAIN_STEPS):
+    sched = get_schedule(s_conf, TRAIN_STEPS)
+    return np.array([float(sched(i)) for i in range(n)])
+
+
+def _hf_schedule_values(factory, n=TRAIN_STEPS, **kwargs):
+    torch = pytest.importorskip("torch")
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=1.0)
+    sch = factory(opt, **kwargs)
+    vals = []
+    for _ in range(n):
+        vals.append(sch.get_last_lr()[0])
+        opt.step()
+        sch.step()
+    return np.array(vals)
+
+
+def test_linear_schedule_matches_transformers():
+    from transformers import get_linear_schedule_with_warmup
+
+    ours = _schedule_values({"type": "linear", "warmup_steps": WARMUP})
+    ref = _hf_schedule_values(
+        get_linear_schedule_with_warmup,
+        num_warmup_steps=WARMUP,
+        num_training_steps=TRAIN_STEPS,
+    )
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_cosine_schedule_matches_transformers():
+    from transformers import get_cosine_schedule_with_warmup
+
+    ours = _schedule_values({"type": "cosine", "warmup_steps": WARMUP})
+    ref = _hf_schedule_values(
+        get_cosine_schedule_with_warmup,
+        num_warmup_steps=WARMUP,
+        num_training_steps=TRAIN_STEPS,
+    )
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_hard_restarts_schedule_matches_transformers():
+    from transformers import get_cosine_with_hard_restarts_schedule_with_warmup
+
+    ours = _schedule_values(
+        {"type": "cosine_with_restarts", "warmup_steps": WARMUP, "lr_num_cycles": 3}
+    )
+    ref = _hf_schedule_values(
+        get_cosine_with_hard_restarts_schedule_with_warmup,
+        num_warmup_steps=WARMUP,
+        num_training_steps=TRAIN_STEPS,
+        num_cycles=3,
+    )
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_warmup_restarts_schedule_shape():
+    import math
+
+    gamma, cycles = 0.5, 2
+    ours = _schedule_values(
+        {
+            "type": "cosine_with_warmup_restarts",
+            "warmup_steps": WARMUP,
+            "lr_num_cycles": cycles,
+            "lr_gamma": gamma,
+        }
+    )
+
+    # Independent implementation of the documented behaviour: per-cycle
+    # linear warmup, cosine within cycle, cycle max LR decayed by gamma.
+    def expected(step):
+        progress = (step - WARMUP) / max(1, TRAIN_STEPS - WARMUP)
+        if progress >= 1.0:
+            return 0.0
+        cycle_len = TRAIN_STEPS / cycles
+        cycle = step // cycle_len
+        max_lr = gamma**cycle
+        s = step % cycle_len
+        if s < WARMUP:
+            return s / max(1, WARMUP) * max_lr
+        return max(0.0, 0.5 * (1 + math.cos(math.pi * ((cycles * progress) % 1.0))) * max_lr)
+
+    ref = np.array([expected(i) for i in range(TRAIN_STEPS)])
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+    # second cycle restarts with warmup at the decayed max
+    assert ours[31] < ours[35] <= gamma + 1e-6
+
+
+def test_chill_schedule_plateau_is_noisy_but_bounded():
+    conf = {
+        "type": "cosine_with_warmup_restarts_chill",
+        "warmup_steps": 5,
+        "lr_num_cycles": 2,
+        "lr_gamma": 1.0,
+        "chill_steps": 10,
+        "chill_range": 0.02,
+    }
+    vals = _schedule_values(conf)
+    base = _schedule_values(
+        {
+            "type": "cosine_with_warmup_restarts",
+            "warmup_steps": 5,
+            "lr_num_cycles": 2,
+            "lr_gamma": 1.0,
+        }
+    )
+    # chill window: last 10 steps of cycle 0 (steps 20..29)
+    chill = vals[21:30]
+    assert np.ptp(chill) > 0  # jittered
+    assert np.ptp(chill) <= 0.08
+    # outside the chill window the schedule matches the non-chill variant
+    np.testing.assert_allclose(vals[:20], base[:20], atol=1e-5)
+    np.testing.assert_allclose(vals[31:], base[31:], atol=1e-5)
+
+
+def test_unknown_schedule_raises():
+    with pytest.raises(ValueError):
+        get_schedule({"type": "bogus", "warmup_steps": 0}, 10)
+
+
+# ---------------------------------------------------------------------------
+# AdamW trajectory parity vs torch
+# ---------------------------------------------------------------------------
+
+def test_adamw_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(0)
+    w0 = rng.standard_normal((8, 4)).astype(np.float32)
+    g_seq = [rng.standard_normal((8, 4)).astype(np.float32) for _ in range(12)]
+
+    conf = {
+        "type": "adamw",
+        "8bit": False,
+        "muon": None,
+        "params": {"lr": 1e-2, "betas": (0.9, 0.98), "eps": 1e-8, "weight_decay": 0.1},
+    }
+    tx, meta = get_optimizer({"w": jnp.asarray(w0)}, conf)
+    assert meta[0]["lr_log_label"] == "adamw"
+    params = {"w": jnp.asarray(w0)}
+    state = tx.init(params)
+    for g in g_seq:
+        updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
+        params = optax.apply_updates(params, updates)
+
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    topt = torch.optim.AdamW([tw], lr=1e-2, betas=(0.9, 0.98), eps=1e-8, weight_decay=0.1)
+    for g in g_seq:
+        tw.grad = torch.from_numpy(g.copy())
+        topt.step()
+
+    np.testing.assert_allclose(
+        np.asarray(params["w"]), tw.detach().numpy(), atol=1e-5, rtol=1e-4
+    )
+
+
+def test_adam_coupled_l2_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(1)
+    w0 = rng.standard_normal((6, 3)).astype(np.float32)
+    g_seq = [rng.standard_normal((6, 3)).astype(np.float32) for _ in range(8)]
+
+    conf = {
+        "type": "adam",
+        "8bit": False,
+        "muon": None,
+        "params": {"lr": 5e-3, "weight_decay": 0.05},
+    }
+    tx, _ = get_optimizer({"w": jnp.asarray(w0)}, conf)
+    params = {"w": jnp.asarray(w0)}
+    state = tx.init(params)
+    for g in g_seq:
+        updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
+        params = optax.apply_updates(params, updates)
+
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    topt = torch.optim.Adam([tw], lr=5e-3, weight_decay=0.05)
+    for g in g_seq:
+        tw.grad = torch.from_numpy(g.copy())
+        topt.step()
+
+    np.testing.assert_allclose(
+        np.asarray(params["w"]), tw.detach().numpy(), atol=1e-5, rtol=1e-4
+    )
+
+
+# ---------------------------------------------------------------------------
+# Muon
+# ---------------------------------------------------------------------------
+
+def test_newton_schulz_orthogonalizes():
+    rng = np.random.default_rng(2)
+    g = jnp.asarray(rng.standard_normal((64, 32)).astype(np.float32))
+    o = np.asarray(newton_schulz_orthogonalize(g), dtype=np.float64)
+    s = np.linalg.svd(o, compute_uv=False)
+    assert s.max() < 1.4 and s.min() > 0.5  # bf16 quintic NS lands near 1
+
+
+def test_newton_schulz_batched_matches_single():
+    rng = np.random.default_rng(3)
+    g = rng.standard_normal((4, 32, 16)).astype(np.float32)
+    batched = np.asarray(newton_schulz_orthogonalize(jnp.asarray(g)))
+    singles = np.stack(
+        [np.asarray(newton_schulz_orthogonalize(jnp.asarray(g[i]))) for i in range(4)]
+    )
+    np.testing.assert_allclose(batched, singles, atol=5e-2)
+
+
+def test_rms_match_scale():
+    assert rms_match_scale((64, 256), 0.2) == pytest.approx(0.2 * 16.0)
+    with pytest.raises(ValueError):
+        rms_match_scale((64,), 0.2)
+
+
+def _tiny_block_tree():
+    return {
+        "encoder": {
+            "conv1": {"w": jnp.zeros((3, 8, 16)), "b": jnp.zeros((16,))},
+            "blocks": {
+                "attn": {"q_w": jnp.zeros((2, 16, 16)), "q_b": jnp.zeros((2, 16))},
+                "mlp_ln": {"scale": jnp.zeros((2, 16))},
+            },
+            "ln_post": {"scale": jnp.zeros((16,))},
+        },
+        "decoder": {
+            "tok_emb": jnp.zeros((100, 16)),
+            "blocks": {"mlp": {"fc1_w": jnp.zeros((2, 16, 64))}},
+        },
+    }
+
+
+def test_muon_param_labels_partition():
+    labels = muon_param_labels(_tiny_block_tree())
+    assert labels["encoder"]["blocks"]["attn"]["q_w"] == "muon"
+    assert labels["encoder"]["blocks"]["attn"]["q_b"] == "adamw"  # per-layer bias
+    assert labels["encoder"]["blocks"]["mlp_ln"]["scale"] == "adamw"
+    assert labels["decoder"]["blocks"]["mlp"]["fc1_w"] == "muon"
+    assert labels["encoder"]["conv1"]["w"] == "adamw"  # conv: not in blocks
+    assert labels["decoder"]["tok_emb"] == "adamw"  # embedding: not in blocks
+    assert labels["encoder"]["ln_post"]["scale"] == "adamw"
+
+
+def test_muon_update_rms_matched():
+    rng = np.random.default_rng(4)
+    params = {"blocks": {"w": jnp.asarray(rng.standard_normal((2, 64, 128)).astype(np.float32))}}
+    grads = {"blocks": {"w": jnp.asarray(rng.standard_normal((2, 64, 128)).astype(np.float32))}}
+    lr = 0.02
+    conf = {
+        "type": "adamw",
+        "muon": True,
+        "8bit": False,
+        "muon_params": {"lr": lr, "momentum": 0.95, "weight_decay": 0.0},
+        "params": {"lr": 3e-4},
+        "muon_match_adamw_update_rms": True,
+        "muon_match_factor": 0.2,
+    }
+    tx, meta = get_optimizer(params, conf)
+    assert any(m["lr_log_label"] == "muon" for m in meta)
+    state = tx.init(params)
+    updates, _ = tx.update(grads, state, params)
+    upd = np.asarray(updates["blocks"]["w"], dtype=np.float64)
+    # Paper contract: RMS-matched update has rms ~= factor * lr per matrix
+    # (semi-orthogonal O of shape (A<=B) has rms 1/sqrt(B); scaled by
+    # lr*0.2*sqrt(B)).
+    rms = np.sqrt((upd**2).mean())
+    assert 0.5 * 0.2 * lr < rms < 2.0 * 0.2 * lr
+
+
+def test_muon_requires_known_type():
+    with pytest.raises(ValueError):
+        get_optimizer({"w": jnp.zeros((2, 2))}, {"type": "sgd", "muon": None, "8bit": False})

@@ -1,0 +1,184 @@
+"""Train-step tests: the real multi-device code path on an 8-device CPU mesh
+(the TPU-build's upgrade over the reference's monkeypatched-globals approach,
+reference tests/test_training_utils.py:400-533): loss parity of the CE
+implementation vs torch, loss decrease over steps, gradient-accumulation
+equivalence, and frozen-parameter invariance."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from whisper_finetune_tpu.models import ForwardConfig, ModelDimensions, init_params
+from whisper_finetune_tpu.parallel import get_data_mesh
+from whisper_finetune_tpu.train.step import (
+    TrainState,
+    combine_params,
+    cross_entropy_loss,
+    make_train_step,
+    partition_params,
+    shard_batch,
+)
+
+DIMS = ModelDimensions(
+    n_mels=16,
+    n_audio_ctx=32,
+    n_audio_state=32,
+    n_audio_head=2,
+    n_audio_layer=2,
+    n_vocab=128,
+    n_text_ctx=16,
+    n_text_head=2,
+    n_text_state=32,
+    n_text_layer=2,
+)
+FCFG = ForwardConfig(compute_dtype="float32")
+
+
+def _batch(accum, global_b, seed=0):
+    rng = np.random.default_rng(seed)
+    mel = rng.standard_normal(
+        (accum, global_b, DIMS.n_mels, DIMS.n_audio_ctx * 2)
+    ).astype(np.float32)
+    dec_in = rng.integers(0, DIMS.n_vocab, (accum, global_b, DIMS.n_text_ctx)).astype(
+        np.int32
+    )
+    dec_out = np.roll(dec_in, -1, axis=-1).astype(np.int32)
+    dec_out[..., -1] = -100
+    dec_out[..., :2] = -100  # emulate masked prompt region
+    return {
+        "mel": jnp.asarray(mel),
+        "dec_input": jnp.asarray(dec_in),
+        "dec_output": jnp.asarray(dec_out),
+    }
+
+
+def _make_state(tx, trainable_mask=None, seed=0):
+    params = init_params(jax.random.PRNGKey(seed), DIMS)
+    trainable, frozen = partition_params(params, trainable_mask)
+    return TrainState(
+        trainable=trainable,
+        frozen=frozen,
+        opt_state=tx.init(trainable),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def test_cross_entropy_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal((3, 7, 11)).astype(np.float32)
+    targets = rng.integers(0, 11, (3, 7)).astype(np.int64)
+    targets[0, :3] = -100
+    targets[2, 5:] = -100
+
+    for ls in (0.0, 0.1):
+        ours = float(
+            cross_entropy_loss(jnp.asarray(logits), jnp.asarray(targets), ls)
+        )
+        ref = torch.nn.functional.cross_entropy(
+            torch.from_numpy(logits).permute(0, 2, 1),
+            torch.from_numpy(targets),
+            label_smoothing=ls,
+            ignore_index=-100,
+        ).item()
+        assert ours == pytest.approx(ref, abs=1e-5), f"label_smoothing={ls}"
+
+
+def test_train_step_loss_decreases_on_mesh():
+    mesh = get_data_mesh()
+    assert mesh.devices.size == 8  # conftest forces 8 CPU devices
+    tx = optax.chain(
+        optax.clip_by_global_norm(1.0), optax.adamw(learning_rate=3e-3)
+    )
+    step_fn = make_train_step(mesh, DIMS, FCFG, tx, label_smoothing=0.0)
+    state = _make_state(tx)
+    batch = shard_batch(mesh, _batch(accum=2, global_b=8))
+    rng = jax.random.PRNGKey(0)
+
+    losses = []
+    for _ in range(12):
+        state, loss = step_fn(state, batch, rng)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] - 0.2, losses
+    assert int(state.step) == 12
+    assert all(np.isfinite(losses))
+
+
+def test_grad_accum_matches_single_big_batch():
+    """accum=2 x batch=8 must equal accum=1 x batch=16 when every microbatch
+    has identical token counts (the reference's accumulation divides each
+    microbatch loss by accum — mean-of-means == big-batch mean here)."""
+    mesh = get_data_mesh()
+    tx = optax.sgd(learning_rate=1e-2)
+
+    batch = _batch(accum=2, global_b=8, seed=3)
+    big = {k: v.reshape((1, 16) + v.shape[2:]) for k, v in batch.items()}
+
+    fcfg_det = ForwardConfig(compute_dtype="float32", stochastic_depth=0.0)
+    step_a = make_train_step(mesh, DIMS, fcfg_det, tx)
+    step_b = make_train_step(mesh, DIMS, fcfg_det, tx)
+    sa = _make_state(tx, seed=5)
+    sb = _make_state(tx, seed=5)
+    rng = jax.random.PRNGKey(1)
+
+    sa, la = step_a(sa, shard_batch(mesh, batch), rng)
+    sb, lb = step_b(sb, shard_batch(mesh, big), rng)
+
+    assert float(la) == pytest.approx(float(lb), abs=1e-5)
+    for pa, pb in zip(
+        jax.tree_util.tree_leaves(sa.trainable), jax.tree_util.tree_leaves(sb.trainable)
+    ):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=1e-5)
+
+
+def test_frozen_params_stay_frozen():
+    mesh = get_data_mesh()
+    tx = optax.adamw(learning_rate=1e-2)
+    params = init_params(jax.random.PRNGKey(0), DIMS)
+    # Freeze the whole encoder (reference train_only_decoder semantics,
+    # finetune.py:468-471).
+    mask = jax.tree_util.tree_map(lambda _: True, params)
+    mask["encoder"] = jax.tree_util.tree_map(lambda _: False, params["encoder"])
+    trainable, frozen = partition_params(params, mask)
+    assert not jax.tree_util.tree_leaves(trainable[
+        "encoder"
+    ]), "encoder should have no trainable leaves"
+
+    # The step donates its input state; snapshot originals host-side first.
+    params = jax.tree_util.tree_map(np.asarray, params)
+
+    state = TrainState(trainable, frozen, tx.init(trainable), jnp.zeros((), jnp.int32))
+    step_fn = make_train_step(mesh, DIMS, FCFG, tx)
+    batch = shard_batch(mesh, _batch(accum=1, global_b=8))
+    state, _ = step_fn(state, batch, jax.random.PRNGKey(0))
+
+    merged = combine_params(state.trainable, state.frozen)
+    for pa, pb in zip(
+        jax.tree_util.tree_leaves(merged["encoder"]),
+        jax.tree_util.tree_leaves(params["encoder"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+    # decoder moved
+    moved = any(
+        not np.allclose(np.asarray(pa), np.asarray(pb))
+        for pa, pb in zip(
+            jax.tree_util.tree_leaves(merged["decoder"]),
+            jax.tree_util.tree_leaves(params["decoder"]),
+        )
+    )
+    assert moved
+
+
+def test_partition_combine_roundtrip():
+    params = init_params(jax.random.PRNGKey(1), DIMS)
+    mask = jax.tree_util.tree_map(lambda _: True, params)
+    mask["decoder"]["tok_emb"] = False
+    trainable, frozen = partition_params(params, mask)
+    merged = combine_params(trainable, frozen)
+    for pa, pb in zip(
+        jax.tree_util.tree_leaves(merged), jax.tree_util.tree_leaves(params)
+    ):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))

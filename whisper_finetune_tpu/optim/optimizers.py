@@ -1,0 +1,246 @@
+"""Optimizer factory: Adam / AdamW / Muon-with-aux-AdamW as optax chains.
+
+Capability parity with the reference's ``get_optimizer``
+(src/whisper_finetune/model/optimizer.py:131-264):
+
+* ``type: adam`` / ``adamw`` with the config's ``params`` passed through
+  (torch-default hyperparameters where unspecified; torch ``Adam``'s coupled
+  L2 vs ``AdamW``'s decoupled decay semantics are both reproduced),
+* ``8bit: true`` is accepted for config parity; TPU HBM budgets differ from
+  the CUDA bitsandbytes context, so it maps to standard fp32-state optax with
+  a warning (the reference itself warns it can zero small LoRA gradients),
+* ``muon: true`` partitions trainable parameters exactly like the reference
+  (optimizer.py:9-52): matrices inside encoder/decoder blocks go to Muon,
+  everything else (gains/biases, embeddings, convs, final norms) to auxiliary
+  AdamW — here the partition is a pytree label function over the stacked
+  block axis rather than an id() walk over modules,
+* RMS-matched Muon scaling (optimizer.py:61-128) is a per-leaf constant
+  inside the Muon transform (see optim/muon.py) — no param-group bucketing
+  needed — and the bucket LR telemetry the reference attaches as
+  ``_lr_group_metadata`` (optimizer.py:212-239) is reconstructed for logging
+  parity.
+
+The returned transformation consumes gradients and emits deltas for
+``optax.apply_updates``; the LR schedule is injected as a callable so the
+whole optimizer (schedule included) lives inside the one jitted train step.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from whisper_finetune_tpu.optim.muon import rms_match_scale, scale_by_muon
+
+Schedule = Callable[[jnp.ndarray], jnp.ndarray]
+
+
+def _scheduled_lr(base_lr: float, schedule: Optional[Schedule]):
+    if schedule is None:
+        return base_lr
+    return lambda count: base_lr * schedule(count)
+
+
+def _path_has_blocks(path) -> bool:
+    for entry in path:
+        key = getattr(entry, "key", getattr(entry, "name", None))
+        if key == "blocks":
+            return True
+    return False
+
+
+def muon_param_labels(params: Any, ndim_threshold: int = 2) -> Any:
+    """Label each trainable leaf "muon" or "adamw" (reference partition
+    semantics, optimizer.py:9-52). Stacked block leaves carry a leading layer
+    axis, so the per-layer ndim is ``leaf.ndim - 1``."""
+
+    def label(path, leaf):
+        if _path_has_blocks(path):
+            per_layer_ndim = leaf.ndim - 1
+            if per_layer_ndim >= ndim_threshold:
+                return "muon"
+        return "adamw"
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def _muon_bucket_metadata(
+    params: Any, labels: Any, muon_lr: float, match: bool, factor: float
+) -> List[Dict]:
+    """Reproduce the reference's per-bucket LR telemetry
+    (optimizer.py:103-128, 212-218): one entry per distinct effective last
+    dimension among Muon-eligible matrices."""
+    buckets = {}
+    for leaf, lab in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(labels)
+    ):
+        if lab != "muon":
+            continue
+        shape = leaf.shape[1:] if leaf.ndim >= 3 else leaf.shape
+        key = (len(shape), shape[-1])
+        if key not in buckets:
+            scale = rms_match_scale(shape, factor) if match else 1.0
+            buckets[key] = {
+                "lr_log_label": "muon",
+                "base_lr_unscaled": muon_lr,
+                "base_lr": muon_lr * scale,
+                "bucket": key,
+            }
+    return list(buckets.values())
+
+
+def _adam_like(
+    conf: Dict, schedule: Optional[Schedule], decoupled: bool
+) -> optax.GradientTransformation:
+    lr = float(conf.get("lr", 1e-3))
+    betas = conf.get("betas", (0.9, 0.999))
+    eps = float(conf.get("eps", 1e-8))
+    wd = float(conf.get("weight_decay", 0.01 if decoupled else 0.0))
+    if decoupled:
+        return optax.adamw(
+            learning_rate=_scheduled_lr(lr, schedule),
+            b1=float(betas[0]),
+            b2=float(betas[1]),
+            eps=eps,
+            weight_decay=wd,
+        )
+    # torch.optim.Adam applies coupled L2: grad += wd * p before the moment
+    # updates.
+    chain = []
+    if wd:
+        chain.append(optax.add_decayed_weights(wd))
+    chain.append(
+        optax.adam(
+            learning_rate=_scheduled_lr(lr, schedule),
+            b1=float(betas[0]),
+            b2=float(betas[1]),
+            eps=eps,
+        )
+    )
+    return optax.chain(*chain)
+
+
+def _use_muon(optimizer_conf: Dict) -> bool:
+    if optimizer_conf.get("muon") is not None:
+        return bool(optimizer_conf["muon"])
+    return optimizer_conf.get("type") == "muon"
+
+
+def get_optimizer(
+    trainable_params: Any,
+    optimizer_conf: Dict,
+    schedule: Optional[Schedule] = None,
+    is_lora_run: bool = False,
+) -> Tuple[optax.GradientTransformation, List[Dict]]:
+    """Build the optimizer chain for the trainable parameter tree.
+
+    Returns (transformation, group_metadata) where group_metadata mirrors the
+    reference's ``_lr_group_metadata`` for LR logging.
+    """
+    if optimizer_conf.get("8bit"):
+        print(
+            "WARNING: optimizer.8bit requested; TPU build keeps fp32 optimizer "
+            "state (bitsandbytes is CUDA-only). Proceeding with standard "
+            "optimizer."
+        )
+        if is_lora_run:
+            print(
+                "Note: the reference itself warns 8-bit state can zero small "
+                "LoRA gradients; fp32 state avoids that failure mode."
+            )
+
+    if _use_muon(optimizer_conf):
+        if optimizer_conf.get("type") not in (None, "adamw", "muon"):
+            print(
+                "WARNING: optimizer.type is ignored when optimizer.muon=True. "
+                "Using Muon with auxiliary AdamW."
+            )
+        ndim_threshold = int(optimizer_conf.get("muon_ndim_threshold", 2))
+        if ndim_threshold < 1:
+            raise ValueError(
+                f"optimizer.muon_ndim_threshold must be >= 1, got {ndim_threshold}"
+            )
+        match = bool(optimizer_conf.get("muon_match_adamw_update_rms", True))
+        factor = float(optimizer_conf.get("muon_match_factor", 0.2))
+        if factor <= 0:
+            raise ValueError(
+                f"optimizer.muon_match_factor must be > 0, got {factor}"
+            )
+
+        muon_conf = optimizer_conf.get("muon_params", {}) or {}
+        adamw_conf = dict(optimizer_conf.get("params", {}) or {})
+        adamw_conf.setdefault("lr", 3e-4)
+        adamw_conf.setdefault("betas", (0.9, 0.95))
+        adamw_conf.setdefault("eps", 1e-10)
+        adamw_conf.setdefault("weight_decay", 0.0)
+        if "amsgrad" in adamw_conf:
+            print("WARNING: optimizer.params.amsgrad is not used by Muon auxiliary AdamW.")
+            adamw_conf.pop("amsgrad")
+
+        muon_lr = float(muon_conf.get("lr", 0.02))
+        muon_momentum = float(muon_conf.get("momentum", 0.95))
+        muon_wd = float(muon_conf.get("weight_decay", adamw_conf["weight_decay"]))
+
+        labels = muon_param_labels(trainable_params, ndim_threshold)
+        tx = optax.multi_transform(
+            {
+                "muon": scale_by_muon(
+                    learning_rate=_scheduled_lr(muon_lr, schedule),
+                    momentum=muon_momentum,
+                    weight_decay=muon_wd,
+                    match_adamw_update_rms=match,
+                    match_factor=factor,
+                ),
+                "adamw": _adam_like(adamw_conf, schedule, decoupled=True),
+            },
+            labels,
+        )
+        metadata = _muon_bucket_metadata(
+            trainable_params, labels, muon_lr, match, factor
+        )
+        n_muon = sum(
+            1 for l in jax.tree_util.tree_leaves(labels) if l == "muon"
+        )
+        n_aux = sum(
+            1 for l in jax.tree_util.tree_leaves(labels) if l == "adamw"
+        )
+        if n_aux > 0:
+            metadata.append(
+                {
+                    "lr_log_label": "aux_adamw",
+                    "base_lr_unscaled": float(adamw_conf["lr"]),
+                    "base_lr": float(adamw_conf["lr"]),
+                }
+            )
+        if match:
+            print(
+                f"Muon RMS matching active: factor={factor}, shared "
+                f"base_lr={muon_lr}, shared weight_decay={muon_wd}"
+            )
+        print(
+            f"Using Muon with auxiliary AdamW: {n_muon} Muon param leaves and "
+            f"{n_aux} AuxAdamW param leaves"
+        )
+        return tx, metadata
+
+    otype = optimizer_conf.get("type")
+    params_conf = optimizer_conf.get("params", {}) or {}
+    if otype == "adam":
+        tx = _adam_like(params_conf, schedule, decoupled=False)
+    elif otype == "adamw":
+        tx = _adam_like(params_conf, schedule, decoupled=True)
+    else:
+        raise ValueError(
+            f"Unknown optimizer type: {otype}. Must be adam or adamw."
+        )
+    metadata = [
+        {
+            "lr_log_label": otype,
+            "base_lr_unscaled": float(params_conf.get("lr", 1e-3)),
+            "base_lr": float(params_conf.get("lr", 1e-3)),
+        }
+    ]
+    return tx, metadata
