@@ -65,6 +65,10 @@ class ForwardConfig:
     # Per-encoder-layer application flags; None = reference default
     # (every block except the last, model_utils.py:419-431).
     dsa_layer_indices: Optional[Tuple[int, ...]] = None
+    # LoRA: alpha/rank scale folded into per-layer kernels inside the scan
+    # body (see models/lora.py). 0.0 = adapters (if any) are inert.
+    lora_scale: float = 0.0
+    lora_dropout: float = 0.0
 
     @property
     def dtype(self):
@@ -372,7 +376,7 @@ def encoder_forward(
     if rng is None:
         rng = jax.random.PRNGKey(0)
     gate_key, layers_key = jax.random.split(rng)
-    layer_keys = jax.random.split(layers_key, L * 2).reshape(L, 2, 2)
+    layer_keys = jax.random.split(layers_key, L * 3).reshape(L, 3, 2)
     # One Bernoulli per encoder forward gates deep SpecAugment for all layers
     # (reference forward-pre-hook, model_utils.py:404-407).
     dsa_gate = jax.random.uniform(gate_key) < fcfg.dsa_p
@@ -381,6 +385,12 @@ def encoder_forward(
     def body(x, scanned):
         bp, keys, flag = scanned
         dsa_on = jnp.logical_and(dsa_gate, flag)
+        if fcfg.lora_scale:
+            from whisper_finetune_tpu.models.lora import materialize_block_lora
+
+            bp = materialize_block_lora(
+                bp, fcfg.lora_scale, fcfg.lora_dropout, keys[2], train
+            )
 
         def run(x):
             return _encoder_block(x, bp, fcfg, n_head, dsa_on, keys[1], train)
@@ -429,15 +439,21 @@ def decoder_forward(
 
     if rng is None:
         rng = jax.random.PRNGKey(0)
-    layer_keys = jax.random.split(rng, L)
+    layer_keys = jax.random.split(rng, L * 2).reshape(L, 2, 2)
 
     def body(x, scanned):
-        bp, sd_key = scanned
+        bp, keys = scanned
+        if fcfg.lora_scale:
+            from whisper_finetune_tpu.models.lora import materialize_block_lora
+
+            bp = materialize_block_lora(
+                bp, fcfg.lora_scale, fcfg.lora_dropout, keys[1], train
+            )
 
         def run(x):
             return _decoder_block(x, bp, xa, causal, fcfg, n_head)
 
-        x = _stochastic_wrap(x, run, sd_key, fcfg.stochastic_depth, train)
+        x = _stochastic_wrap(x, run, keys[0], fcfg.stochastic_depth, train)
         return x, None
 
     scan_body = body

@@ -212,6 +212,7 @@ def make_eval_forward(
         remat_decoder=False,
         stochastic_depth=0.0,
         dsa_apply=False,
+        lora_scale=fcfg.lora_scale,  # unmerged adapters still apply at eval
     )
 
     @jax.jit
