@@ -1,0 +1,181 @@
+"""Eval-layer tests: Levenshtein/WER/CER conventions, token metrics vs torch,
+ECE exact cases, normalization specs, and an end-to-end evaluator pass with a
+dummy tokenizer (the reference's test technique, tests/test_metrics.py and
+tests/test_utils.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from whisper_finetune_tpu.eval import (
+    VOCAB_SPECS,
+    aggregate_dataset_metrics,
+    compute_cer_batch,
+    compute_ece,
+    compute_macro_average,
+    compute_token_metrics,
+    compute_wer,
+    evaluate_single_dataset,
+    levenshtein,
+    make_eval_step,
+    normalize_text,
+)
+from whisper_finetune_tpu.eval.metrics import DatasetMetrics, PerUtteranceMetrics
+
+
+def _brute_levenshtein(a, b):
+    n, m = len(a), len(b)
+    d = np.zeros((n + 1, m + 1), dtype=int)
+    d[:, 0] = np.arange(n + 1)
+    d[0, :] = np.arange(m + 1)
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            d[i, j] = min(
+                d[i - 1, j] + 1,
+                d[i, j - 1] + 1,
+                d[i - 1, j - 1] + (a[i - 1] != b[j - 1]),
+            )
+    return d[n, m]
+
+
+def test_levenshtein_matches_bruteforce():
+    rng = np.random.default_rng(0)
+    for _ in range(30):
+        a = rng.integers(0, 4, rng.integers(0, 12)).tolist()
+        b = rng.integers(0, 4, rng.integers(0, 12)).tolist()
+        assert levenshtein(a, b) == _brute_levenshtein(a, b), (a, b)
+
+
+def test_wer_cer_conventions():
+    assert compute_wer(["a b c"], ["a b c"]) == [0.0]
+    assert compute_wer(["a x c"], ["a b c"]) == [pytest.approx(1 / 3)]
+    # empty reference conventions (reference metrics.py:45-82)
+    assert compute_wer([""], [""]) == [0.0]
+    assert compute_wer(["something"], [""]) == [1.0]
+    assert compute_cer_batch([""], [""]) == [0.0]
+    assert compute_cer_batch(["x"], [""]) == [1.0]
+    assert compute_cer_batch(["abcd"], ["abce"]) == [pytest.approx(0.25)]
+
+
+def test_wer_matches_jiwer_style_examples():
+    # hand-checked jiwer outputs
+    assert compute_wer(["hello world"], ["hello duck"]) == [pytest.approx(0.5)]
+    assert compute_wer(["a b"], ["a b c d"]) == [pytest.approx(0.5)]  # 2 del / 4
+    assert compute_wer(["x y z w"], ["a b"]) == [pytest.approx(2.0)]  # 2 sub + 2 ins / 2
+
+
+def test_token_metrics_match_torch():
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(1)
+    logits = rng.standard_normal((9, 13)).astype(np.float32)
+    targets = rng.integers(0, 13, 9)
+    targets[:2] = -100
+    preds = rng.integers(0, 13, 9)
+
+    nll, alp, ent, conf, corr = compute_token_metrics(logits, targets, preds)
+
+    t_logits = torch.from_numpy(logits)
+    mask = torch.from_numpy(targets) != -100
+    vl = t_logits[mask]
+    vt = torch.from_numpy(targets)[mask]
+    vp = torch.from_numpy(preds)[mask]
+    ref_nll = F.cross_entropy(vl, vt, reduction="none").mean().item()
+    lp = F.log_softmax(vl, dim=-1)
+    ref_alp = lp.gather(1, vp.unsqueeze(1)).mean().item()
+    probs = F.softmax(vl, dim=-1)
+    ref_ent = (-(probs * lp).sum(-1)).mean().item()
+
+    assert nll == pytest.approx(ref_nll, abs=1e-5)
+    assert alp == pytest.approx(ref_alp, abs=1e-5)
+    assert ent == pytest.approx(ref_ent, abs=1e-5)
+    assert conf == pytest.approx(probs.max(dim=-1).values.tolist(), abs=1e-5)
+    assert corr == (vp == vt).tolist()
+
+
+def test_token_metrics_all_masked():
+    out = compute_token_metrics(np.zeros((3, 5)), np.full(3, -100), np.zeros(3, int))
+    assert out == (0.0, 0.0, 0.0, [], [])
+
+
+def test_ece_cases():
+    # perfectly calibrated at 100% confidence and always right
+    assert compute_ece([1.0, 1.0], [True, True]) == pytest.approx(0.0)
+    # fully overconfident: conf 1.0, never right -> ece 1.0
+    assert compute_ece([1.0, 1.0], [False, False]) == pytest.approx(1.0)
+    # empty
+    assert compute_ece([], []) == 0.0
+    # one bin, conf 0.75, accuracy 0.5 -> 0.25
+    assert compute_ece([0.75, 0.75], [True, False]) == pytest.approx(0.25)
+
+
+def test_aggregate_and_macro():
+    def utt(wer, conf, corr):
+        return PerUtteranceMetrics("p", "r", wer, wer / 2, 1.0, -1.0, 0.5, conf, corr)
+
+    dm = aggregate_dataset_metrics([utt(0.2, [0.9], [True]), utt(0.4, [0.8], [False])], "d1")
+    assert dm.wer == pytest.approx(0.3)
+    assert dm.num_samples == 2
+
+    empty = aggregate_dataset_metrics([], "d2")
+    assert empty.num_samples == 0 and empty.wer == 0.0
+
+    macro = compute_macro_average([dm, DatasetMetrics("d2", 1, 0.1, 0.1, 1, -1, 0.5, 0.0, [])])
+    assert macro["macro_wer"] == pytest.approx((0.3 + 0.1) / 2)
+    assert compute_macro_average([]) == {
+        "macro_wer": 0.0,
+        "macro_cer": 0.0,
+        "macro_mean_token_nll": 0.0,
+        "macro_avg_log_prob": 0.0,
+        "macro_mean_token_entropy": 0.0,
+        "macro_ece": 0.0,
+    }
+
+
+def test_normalize_text_specs():
+    assert normalize_text("Héllo–Wörld!", **VOCAB_SPECS["v0"]) == "hello wörld"
+    assert normalize_text("Größe,  straße", **VOCAB_SPECS["v0"]) == "grösse strasse"
+    assert normalize_text("ABC, def: 12!", **VOCAB_SPECS["v1"]) == "ABC, def: 12"
+    assert normalize_text("Ça va? Ja!", **VOCAB_SPECS["v3"]) == "a va? Ja!"
+    # v0 filters digits in, punctuation out
+    assert normalize_text("a-b/c", **VOCAB_SPECS["v0"]) == "a b c"
+
+
+class DummyTokenizer:
+    """Fixed-id tokenizer like the reference test stubs
+    (tests/test_data_loader.py:53-64): ids < 100 are letters, specials above."""
+
+    special_tokens = {"<|sot|>": 100, "<|eot|>": 101}
+
+    def decode(self, ids):
+        return "".join(chr(ord("a") + (i % 26)) for i in ids)
+
+
+def test_evaluate_single_dataset_perfect_predictions():
+    from whisper_finetune_tpu.models import ForwardConfig, ModelDimensions, init_params
+
+    dims = ModelDimensions(
+        n_mels=8, n_audio_ctx=16, n_audio_state=16, n_audio_head=2, n_audio_layer=1,
+        n_vocab=128, n_text_ctx=8, n_text_head=2, n_text_state=16, n_text_layer=1,
+    )
+    params = init_params(jax.random.PRNGKey(0), dims)
+    eval_step = make_eval_step(dims, ForwardConfig(compute_dtype="float32"))
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "mel": jnp.asarray(rng.standard_normal((2, 8, 32)).astype(np.float32)),
+        "dec_input": jnp.asarray(rng.integers(0, 99, (2, 8)).astype(np.int32)),
+        "dec_output": jnp.asarray(rng.integers(0, 99, (2, 8)).astype(np.int32)),
+    }
+    dm = evaluate_single_dataset(
+        eval_step, params, [batch], "dummy", DummyTokenizer()
+    )
+    assert dm.num_samples == 2
+    assert dm.dataset_name == "dummy"
+    assert 0.0 <= dm.ece <= 1.0
+    assert np.isfinite(dm.mean_token_nll)
+    # random model vs random targets: wer should be > 0
+    assert dm.wer > 0

@@ -1,0 +1,199 @@
+"""Multi-dataset teacher-forced evaluator.
+
+Behavioural parity with the reference evaluator
+(src/whisper_finetune/eval/evaluator.py): teacher-forced forward (no
+autoregressive decode, evaluator.py:69-73), argmax predictions, special/-100
+token stripping, v0 text normalization, per-utterance WER/CER + token
+metrics, per-dataset aggregation, unweighted macro average, and the
+``val/{name}_{metric}`` logging namespace (evaluator.py:186-221).
+
+TPU-first split: one jitted eval step computes logits AND all per-token
+statistics (NLL, predicted log-prob, entropy, confidence, correctness) on
+device — only (B, T) scalars cross to the host, never the (B, T, vocab)
+logits. Text handling and aggregation run host-side on process 0.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Iterable, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import whisper_finetune_tpu.runtime as rt
+from whisper_finetune_tpu.eval.metrics import (
+    DatasetMetrics,
+    PerUtteranceMetrics,
+    aggregate_dataset_metrics,
+    compute_macro_average,
+)
+from whisper_finetune_tpu.eval.text_norm import VOCAB_SPECS, normalize_text
+from whisper_finetune_tpu.eval.wer import char_error_rate, word_error_rate
+from whisper_finetune_tpu.models.dims import ModelDimensions
+from whisper_finetune_tpu.models.whisper import ForwardConfig, forward_impl
+
+
+def make_eval_step(dims: ModelDimensions, fcfg: ForwardConfig) -> Callable:
+    """Jitted eval step: (params, mel, dec_in, dec_out) -> per-token stats.
+
+    Returns arrays of shape (B, T): predicted ids, NLL vs targets, log-prob
+    of predictions, entropy, max-prob confidence. Masking by -100 happens
+    host-side (the mask is data, the stats are device math).
+    """
+    eval_fcfg = ForwardConfig(
+        compute_dtype=fcfg.compute_dtype,
+        remat_encoder=False,
+        remat_encoder_last_only=False,
+        remat_decoder=False,
+        stochastic_depth=0.0,
+        dsa_apply=False,
+        lora_scale=fcfg.lora_scale,
+    )
+
+    @jax.jit
+    def step(params, mel, dec_in, dec_out):
+        logits = forward_impl(params, mel, dec_in, dims, eval_fcfg, train=False)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        pred = jnp.argmax(logits, axis=-1)
+        safe_t = jnp.where(dec_out == -100, 0, dec_out)
+        nll = -jnp.take_along_axis(logp, safe_t[..., None], axis=-1)[..., 0]
+        pred_lp = jnp.take_along_axis(logp, pred[..., None], axis=-1)[..., 0]
+        entropy = -jnp.sum(jnp.exp(logp) * logp, axis=-1)
+        conf = jnp.exp(jnp.max(logp, axis=-1))
+        return pred, nll, pred_lp, entropy, conf
+
+    return step
+
+
+def evaluate_single_dataset(
+    eval_step: Callable,
+    params,
+    batches: Iterable,
+    dataset_name: str,
+    tokenizer,
+) -> DatasetMetrics:
+    """Evaluate one dataset. ``batches`` yields dicts with ``mel``,
+    ``dec_input``, ``dec_output`` (same contract as the train pipeline but
+    without prompts/timestamps — reference finetune.py:669-678)."""
+    special_ids = set(tokenizer.special_tokens.values())
+    per_utterance: List[PerUtteranceMetrics] = []
+    spec = VOCAB_SPECS["v0"]
+
+    for batch in batches:
+        pred, nll, pred_lp, entropy, conf = eval_step(
+            params, batch["mel"], batch["dec_input"], batch["dec_output"]
+        )
+        pred = np.asarray(pred)
+        nll = np.asarray(nll)
+        pred_lp = np.asarray(pred_lp)
+        entropy = np.asarray(entropy)
+        conf = np.asarray(conf)
+        targets = np.asarray(batch["dec_output"])
+
+        for i in range(pred.shape[0]):
+            t_ids = targets[i]
+            mask = t_ids != -100
+
+            pred_tokens = [
+                int(t)
+                for t in pred[i].tolist()
+                if t not in special_ids and t != -100
+            ]
+            true_tokens = [
+                int(t)
+                for t in t_ids.tolist()
+                if t not in special_ids and t != -100
+            ]
+            true_text = tokenizer.decode(true_tokens)
+            if true_text.strip() == "":
+                continue  # reference skips empty references (evaluator.py:96-97)
+            pred_text = tokenizer.decode(pred_tokens)
+
+            pred_norm = normalize_text(pred_text, **spec)
+            true_norm = normalize_text(true_text, **spec)
+
+            if mask.sum() == 0:
+                tok_stats = (0.0, 0.0, 0.0, [], [])
+            else:
+                tok_stats = (
+                    float(nll[i][mask].mean()),
+                    float(pred_lp[i][mask].mean()),
+                    float(entropy[i][mask].mean()),
+                    conf[i][mask].tolist(),
+                    (pred[i][mask] == t_ids[mask]).tolist(),
+                )
+
+            per_utterance.append(
+                PerUtteranceMetrics(
+                    prediction=pred_norm,
+                    reference=true_norm,
+                    wer=word_error_rate(true_norm, pred_norm)
+                    if true_norm
+                    else (0.0 if not pred_norm else 1.0),
+                    cer=char_error_rate(true_norm, pred_norm)
+                    if true_norm
+                    else (0.0 if not pred_norm else 1.0),
+                    token_nll=tok_stats[0],
+                    avg_log_prob=tok_stats[1],
+                    token_entropy=tok_stats[2],
+                    token_confidences=tok_stats[3],
+                    token_correct=tok_stats[4],
+                )
+            )
+
+    return aggregate_dataset_metrics(per_utterance, dataset_name)
+
+
+def evaluate_multiple_datasets(
+    eval_step: Callable,
+    params,
+    dataloaders: Dict[str, Callable[[], Iterable]],
+    tokenizer,
+) -> Tuple[List[DatasetMetrics], Dict[str, float]]:
+    """Evaluate every validation dataset and macro-average
+    (reference evaluator.py:134-183). ``dataloaders`` maps name -> a callable
+    returning a fresh batch iterator."""
+    all_metrics: List[DatasetMetrics] = []
+    for name, make_batches in dataloaders.items():
+        rt.print_once(f"\n{'=' * 60}\nEvaluating dataset: {name}\n{'=' * 60}")
+        dm = evaluate_single_dataset(eval_step, params, make_batches(), name, tokenizer)
+        all_metrics.append(dm)
+        rt.print_once(
+            f"\nResults for {name}:\n"
+            f"  Samples: {dm.num_samples}\n"
+            f"  WER: {dm.wer:.4f}\n  CER: {dm.cer:.4f}\n"
+            f"  Mean Token NLL: {dm.mean_token_nll:.4f}\n"
+            f"  Avg Log Prob: {dm.avg_log_prob:.4f}\n"
+            f"  Mean Token Entropy: {dm.mean_token_entropy:.4f}\n"
+            f"  ECE: {dm.ece:.4f}"
+        )
+    macro = compute_macro_average(all_metrics)
+    rt.print_once(f"\n{'=' * 60}\nMACRO AVERAGES (unweighted across datasets)\n{'=' * 60}")
+    for k, v in macro.items():
+        rt.print_once(f"  {k}: {v:.4f}")
+    return all_metrics, macro
+
+
+def log_metrics_to_wandb(
+    dataset_metrics: List[DatasetMetrics],
+    macro_metrics: Dict[str, float],
+    step: int,
+    prefix: str = "val",
+) -> None:
+    """Flatten into the reference's metric namespace (evaluator.py:186-221);
+    rt.log fans out to W&B (if enabled) and the local metrics JSONL."""
+    log_dict: Dict[str, float] = {}
+    for dm in dataset_metrics:
+        base = f"{prefix}/{dm.dataset_name}"
+        log_dict[f"{base}_wer"] = dm.wer
+        log_dict[f"{base}_cer"] = dm.cer
+        log_dict[f"{base}_loss"] = dm.mean_token_nll
+        log_dict[f"{base}_mean_token_nll"] = dm.mean_token_nll
+        log_dict[f"{base}_avg_log_prob"] = dm.avg_log_prob
+        log_dict[f"{base}_mean_token_entropy"] = dm.mean_token_entropy
+        log_dict[f"{base}_ece"] = dm.ece
+        log_dict[f"{base}_num_samples"] = dm.num_samples
+    for k, v in macro_metrics.items():
+        log_dict[f"{prefix}/{k}"] = v
+    rt.log(log_dict, step=step)
