@@ -1,0 +1,149 @@
+"""Benchmark: fine-tune step throughput in audio-hours/sec/chip.
+
+Runs the real jitted train step (fused on-device log-mel + SpecAugment +
+bf16 forward/backward + optimizer update) on synthetic 30-second batches and
+prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "audio-hours/sec/chip", "vs_baseline": N}
+
+The reference publishes no benchmark numbers (BASELINE.md), so vs_baseline
+is computed against an analytic A100 estimate: matmul FLOPs per 30 s sample
+for the same model (fwd + bwd + full-remat recompute = 4x fwd), at 45% MFU of
+A100's 312 TFLOP/s fp16 peak — a deliberately generous stand-in for the
+PyTorch reference's single-A100 production config (sc_sbatch.sh:7-9,
+config_large_v3_best_muon.yaml).
+
+Model: large-v3 with LoRA (the memory-feasible single-v5e configuration —
+the reference's full-fine-tune optimizer state for 1.55B fp32 params needs
+an 80GB-class chip; LoRA keeps the same fwd/bwd compute path). Falls back to
+smaller presets if the chip runs out of memory.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def _flops_per_sample(dims) -> float:
+    """Matmul FLOPs for one 30s sample, fwd pass (2*M*N*K per matmul)."""
+    d_a, d_t = dims.n_audio_state, dims.n_text_state
+    T_a, T_t = dims.n_audio_ctx, dims.n_text_ctx
+    enc_block = (
+        4 * 2 * T_a * d_a * d_a  # qkv + out projections
+        + 2 * 2 * T_a * T_a * d_a  # qk^T and att*v
+        + 2 * 2 * T_a * d_a * 4 * d_a  # mlp
+    )
+    dec_block = (
+        4 * 2 * T_t * d_t * d_t
+        + 2 * 2 * T_t * T_t * d_t
+        + 4 * 2 * T_t * d_t * d_t  # cross-attn projections
+        + 2 * 2 * T_t * T_a * d_t  # cross qk / av
+        + 2 * 2 * T_t * d_t * 4 * d_t
+    )
+    convs = 2 * (2 * T_a) * 3 * dims.n_mels * d_a + 2 * T_a * 3 * d_a * d_a
+    logits = 2 * T_t * d_t * dims.n_vocab
+    return (
+        dims.n_audio_layer * enc_block
+        + dims.n_text_layer * dec_block
+        + convs
+        + logits
+    )
+
+
+def _bench_model(name: str, batch: int, steps: int = 10, warmup: int = 2):
+    from whisper_finetune_tpu.models import ForwardConfig, get_preset_dims, init_params
+    from whisper_finetune_tpu.models.lora import apply_lora, lora_scale
+    from whisper_finetune_tpu.ops.spec_augment import FeaturizeConfig
+    from whisper_finetune_tpu.parallel import get_data_mesh
+    from whisper_finetune_tpu.train.step import (
+        TrainState,
+        make_train_step,
+        partition_params,
+        shard_batch,
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    dims = get_preset_dims(name)
+    params = init_params(jax.random.PRNGKey(0), dims)
+    params, mask = apply_lora(params, rank=16, alpha=32)
+    trainable, frozen = partition_params(params, mask)
+
+    mesh = get_data_mesh()
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-4))
+    state = TrainState(trainable, frozen, tx.init(trainable), jnp.zeros((), jnp.int32))
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+
+    fcfg = ForwardConfig(compute_dtype="bfloat16", lora_scale=lora_scale(16, 32))
+    feat = FeaturizeConfig(n_mels=dims.n_mels, spec_augment=True, p=1.0)
+    step_fn = make_train_step(mesh, dims, fcfg, tx, 0.1, feat_cfg=feat)
+
+    n_dev = mesh.devices.size
+    rng = np.random.default_rng(0)
+    batch_global = batch * n_dev
+    data = shard_batch(
+        mesh,
+        {
+            "audio": jnp.asarray(
+                (rng.standard_normal((1, batch_global, 480000)) * 0.05).astype(
+                    np.float32
+                )
+            ),
+            "crop_frames": jnp.full((1, batch_global), 3000, jnp.int32),
+            "dec_input": jnp.asarray(
+                rng.integers(0, dims.n_vocab, (1, batch_global, 448)).astype(np.int32)
+            ),
+            "dec_output": jnp.asarray(
+                rng.integers(0, dims.n_vocab, (1, batch_global, 448)).astype(np.int32)
+            ),
+        },
+    )
+    key = jax.random.PRNGKey(0)
+
+    for _ in range(warmup):
+        state, loss = step_fn(state, data, key)
+    loss.block_until_ready()
+    t0 = time.time()
+    for _ in range(steps):
+        state, loss = step_fn(state, data, key)
+    loss.block_until_ready()
+    dt = (time.time() - t0) / steps
+    audio_hours_per_sec_per_chip = batch_global * 30.0 / 3600.0 / dt / n_dev
+    return dims, dt, audio_hours_per_sec_per_chip
+
+
+def main():
+    attempts = [("large-v3", 8), ("large-v3-turbo", 8), ("small", 16)]
+    last_err = None
+    for name, batch in attempts:
+        try:
+            dims, step_time, value = _bench_model(name, batch)
+            flops = _flops_per_sample(dims)
+            # A100 estimate: fwd+bwd+remat ~= 4x fwd FLOPs, 45% MFU of 312e12.
+            a100_samples_per_sec = (312e12 * 0.45) / (4 * flops)
+            a100_audio_hours_per_sec = a100_samples_per_sec * 30.0 / 3600.0
+            print(
+                json.dumps(
+                    {
+                        "metric": f"fine-tune audio-hours/sec/chip ({name}, LoRA, "
+                        "fused on-device featurize)",
+                        "value": round(value, 4),
+                        "unit": "audio-hours/sec/chip",
+                        "vs_baseline": round(value / a100_audio_hours_per_sec, 3),
+                        "step_time_s": round(step_time, 3),
+                        "devices": jax.device_count(),
+                    }
+                )
+            )
+            return
+        except Exception as e:  # noqa: BLE001 - fall through to smaller model
+            last_err = e
+            print(f"# bench for {name} failed ({type(e).__name__}); trying smaller")
+    raise SystemExit(f"bench failed for all model sizes: {last_err}")
+
+
+if __name__ == "__main__":
+    main()

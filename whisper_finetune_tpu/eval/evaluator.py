@@ -15,7 +15,7 @@ logits. Text handling and aggregation run host-side on process 0.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Iterable, List, Tuple
+from typing import Callable, Dict, Iterable, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,14 +32,19 @@ from whisper_finetune_tpu.eval.text_norm import VOCAB_SPECS, normalize_text
 from whisper_finetune_tpu.eval.wer import char_error_rate, word_error_rate
 from whisper_finetune_tpu.models.dims import ModelDimensions
 from whisper_finetune_tpu.models.whisper import ForwardConfig, forward_impl
+from whisper_finetune_tpu.ops.spec_augment import FeaturizeConfig, featurize_impl
 
 
-def make_eval_step(dims: ModelDimensions, fcfg: ForwardConfig) -> Callable:
-    """Jitted eval step: (params, mel, dec_in, dec_out) -> per-token stats.
+def make_eval_step(
+    dims: ModelDimensions, fcfg: ForwardConfig, n_mels: Optional[int] = None
+) -> Callable:
+    """Jitted eval step: (params, batch) -> per-token stats.
 
-    Returns arrays of shape (B, T): predicted ids, NLL vs targets, log-prob
-    of predictions, entropy, max-prob confidence. Masking by -100 happens
-    host-side (the mask is data, the stats are device math).
+    ``batch`` carries either precomputed ``mel`` or raw ``audio`` +
+    ``crop_frames`` (featurized on device, no augmentation). Returns arrays
+    of shape (B, T): predicted ids, NLL vs targets, log-prob of predictions,
+    entropy, max-prob confidence. Masking by -100 happens host-side (the
+    mask is data, the stats are device math).
     """
     eval_fcfg = ForwardConfig(
         compute_dtype=fcfg.compute_dtype,
@@ -50,9 +55,17 @@ def make_eval_step(dims: ModelDimensions, fcfg: ForwardConfig) -> Callable:
         dsa_apply=False,
         lora_scale=fcfg.lora_scale,
     )
+    feat_cfg = FeaturizeConfig(n_mels=n_mels or dims.n_mels)
 
     @jax.jit
-    def step(params, mel, dec_in, dec_out):
+    def step(params, batch):
+        if "mel" in batch:
+            mel = batch["mel"]
+        else:
+            mel = featurize_impl(
+                batch["audio"], batch["crop_frames"], None, feat_cfg, train=False
+            )
+        dec_in, dec_out = batch["dec_input"], batch["dec_output"]
         logits = forward_impl(params, mel, dec_in, dims, eval_fcfg, train=False)
         logp = jax.nn.log_softmax(logits, axis=-1)
         pred = jnp.argmax(logits, axis=-1)
@@ -81,9 +94,11 @@ def evaluate_single_dataset(
     spec = VOCAB_SPECS["v0"]
 
     for batch in batches:
-        pred, nll, pred_lp, entropy, conf = eval_step(
-            params, batch["mel"], batch["dec_input"], batch["dec_output"]
-        )
+        keys = ("mel",) if "mel" in batch else ("audio", "crop_frames")
+        device_batch = {
+            k: batch[k] for k in keys + ("dec_input", "dec_output")
+        }
+        pred, nll, pred_lp, entropy, conf = eval_step(params, device_batch)
         pred = np.asarray(pred)
         nll = np.asarray(nll)
         pred_lp = np.asarray(pred_lp)

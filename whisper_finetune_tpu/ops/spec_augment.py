@@ -164,8 +164,7 @@ def extremes_freq_mask(
     return mel * jnp.where(kill, 0.0, 1.0)[:, :, None].astype(mel.dtype)
 
 
-@partial(jax.jit, static_argnames=("cfg", "train"))
-def featurize_batch(
+def featurize_impl(
     audio: jnp.ndarray,
     crop_frames: jnp.ndarray,
     key: Optional[jax.Array],
@@ -195,3 +194,6 @@ def featurize_batch(
         mel = extremes_freq_mask(mel, k_ext, cfg.low_freq_range, cfg.high_freq_range)
 
     return mel
+
+
+featurize_batch = partial(jax.jit, static_argnames=("cfg", "train"))(featurize_impl)

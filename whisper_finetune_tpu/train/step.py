@@ -115,6 +115,7 @@ def make_train_step(
     fcfg: ForwardConfig,
     tx: optax.GradientTransformation,
     label_smoothing: float = 0.0,
+    feat_cfg=None,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray], jnp.ndarray], tuple]:
     """Build the jitted data-parallel train step.
 
@@ -124,20 +125,39 @@ def make_train_step(
     produces the synchronized average — the reference's
     no_sync-until-last-microbatch + DDP allreduce collapsed into its minimal
     collective form.
+
+    With ``feat_cfg`` set, batches carry raw ``audio`` + ``crop_frames`` and
+    the fused log-mel + SpecAugment stage (ops/spec_augment.py) runs inside
+    this same program, fusing into the encoder input; otherwise batches carry
+    precomputed ``mel``.
     """
 
-    def loss_fn(trainable, frozen, mel, dec_in, dec_out, rng):
+    def loss_fn(trainable, frozen, mb, rng):
         params = combine_params(trainable, frozen)
+        if feat_cfg is not None:
+            from whisper_finetune_tpu.ops.spec_augment import featurize_impl
+
+            feat_rng, rng = jax.random.split(rng)
+            mel = featurize_impl(
+                mb["audio"], mb["crop_frames"], feat_rng, feat_cfg, train=True
+            )
+        else:
+            mel = mb["mel"]
         logits = forward_impl(
-            params, mel, dec_in, dims, fcfg, rng=rng, train=True
+            params, mel, mb["dec_input"], dims, fcfg, rng=rng, train=True
         )
-        return cross_entropy_loss(logits, dec_out, label_smoothing)
+        return cross_entropy_loss(logits, mb["dec_output"], label_smoothing)
 
     grad_fn = jax.value_and_grad(loss_fn)
+    data_keys = (
+        ("audio", "crop_frames", "dec_input", "dec_output")
+        if feat_cfg is not None
+        else ("mel", "dec_input", "dec_output")
+    )
 
     def device_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jnp.ndarray):
         # Per-device view: batch leaves (accum_local, local_B, ...).
-        accum_local = batch["mel"].shape[0]
+        accum_local = batch[data_keys[0]].shape[0]
         dev_rng = jax.random.fold_in(
             jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS)),
             state.step,
@@ -148,17 +168,15 @@ def make_train_step(
 
         def micro(carry, xs):
             grad_sum, loss_sum = carry
-            mel, dec_in, dec_out, mrng = xs
-            loss, grads = grad_fn(
-                state.trainable, state.frozen, mel, dec_in, dec_out, mrng
-            )
+            mb, mrng = xs
+            loss, grads = grad_fn(state.trainable, state.frozen, mb, mrng)
             grad_sum = jax.tree_util.tree_map(jnp.add, grad_sum, grads)
             return (grad_sum, loss_sum + loss), None
 
         (grad_sum, loss_sum), _ = jax.lax.scan(
             micro,
             (zero_grads, jnp.zeros((), jnp.float32)),
-            (batch["mel"], batch["dec_input"], batch["dec_output"], micro_rngs),
+            ({k: batch[k] for k in data_keys}, micro_rngs),
         )
 
         # One collective per optimizer step: average over microbatches and
@@ -179,7 +197,7 @@ def make_train_step(
         return new_state, loss
 
     rep = P()
-    batch_spec = {k: P(None, DATA_AXIS) for k in ("mel", "dec_input", "dec_output")}
+    batch_spec = {k: P(None, DATA_AXIS) for k in data_keys}
 
     sharded = shard_map(
         device_step,
