@@ -120,7 +120,7 @@ def build_forward_config(config: Dict, is_lora_run: bool) -> ForwardConfig:
     # reference (finetune.py:423-425); here one scalar p applies to both
     # sides, so mirror by disabling when either side is frozen and p > 0.
     sd = float(t["stochastic_depth"])
-    lora_cfg = config["model"].get("lora_config", {}) or {}
+    lora_cfg = _lora_hparams(config["model"].get("lora_config", {}) or {})
     return ForwardConfig(
         compute_dtype=_compute_dtype(t),
         remat_encoder=bool(t["gradient_checkpointing_encoder"]),
@@ -135,12 +135,20 @@ def build_forward_config(config: Dict, is_lora_run: bool) -> ForwardConfig:
             tuple(dsa["layer_indices"]) if dsa.get("layer_indices") else None
         ),
         lora_scale=(
-            lora_scale(int(lora_cfg.get("rank", 16)), float(lora_cfg.get("alpha", 32)))
-            if is_lora_run
-            else 0.0
+            lora_scale(lora_cfg["rank"], lora_cfg["alpha"]) if is_lora_run else 0.0
         ),
-        lora_dropout=float(lora_cfg.get("dropout", 0.0)) if is_lora_run else 0.0,
+        lora_dropout=lora_cfg["dropout"] if is_lora_run else 0.0,
     )
+
+
+def _lora_hparams(lcfg: Dict) -> Dict:
+    """Accept both the reference's key spelling (rank / lora_alpha /
+    lora_dropout, configs/config_turbo_best.yaml:8-11) and the bare names."""
+    return {
+        "rank": int(lcfg.get("rank", 16)),
+        "alpha": float(lcfg.get("lora_alpha", lcfg.get("alpha", 32))),
+        "dropout": float(lcfg.get("lora_dropout", lcfg.get("dropout", 0.0))),
+    }
 
 
 def build_featurize_config(config: Dict, n_mels: int) -> FeaturizeConfig:
@@ -448,12 +456,12 @@ def main(config: Dict) -> None:
     if is_lora_run:
         rt.print_once("Applying LoRA adapters...")
         print_trainable_parameters(params)
-        lcfg = config["model"].get("lora_config", {}) or {}
+        lcfg = _lora_hparams(config["model"].get("lora_config", {}) or {})
         params, lora_mask = apply_lora(
             params,
-            rank=int(lcfg.get("rank", 16)),
-            alpha=float(lcfg.get("alpha", 32)),
-            dropout=float(lcfg.get("dropout", 0.0)),
+            rank=lcfg["rank"],
+            alpha=lcfg["alpha"],
+            dropout=lcfg["dropout"],
             encoder_only=bool(config["training"]["train_only_encoder"]),
             decoder_only=bool(config["training"]["train_only_decoder"]),
             key=jax.random.PRNGKey(int(config["seed"])),
