@@ -114,14 +114,39 @@ def state_dict_to_params(
     ):
         blocks: Dict[str, Any] = {}
         for path, suffix, transpose in maps:
-            layers = [
-                _to_numpy(state_dict[f"{side}.blocks.{i}.{suffix}"])
-                for i in range(n_layers)
-            ]
+            param_prefix = suffix[: -len(".weight")] if suffix.endswith(".weight") else None
+            layers = []
+            lora_a, lora_b = [], []
+            for i in range(n_layers):
+                key = f"{side}.blocks.{i}.{suffix}"
+                if key in state_dict:
+                    layers.append(_to_numpy(state_dict[key]))
+                    continue
+                # torch-parametrize / minLoRA layout (unmerged LoRA ckpt)
+                base = f"{side}.blocks.{i}.{param_prefix}.parametrizations.weight"
+                layers.append(_to_numpy(state_dict[f"{base}.original"]))
+                lora_a.append(_to_numpy(state_dict[f"{base}.0.lora_A"]))
+                lora_b.append(_to_numpy(state_dict[f"{base}.0.lora_B"]))
             stacked = np.stack(
                 [a.T if transpose else a for a in layers], axis=0
             )
             _set(blocks, path, jnp.asarray(stacked))
+            if lora_a:
+                if len(lora_a) != n_layers:
+                    raise ValueError(
+                        f"Partial LoRA adapters for {side}.{suffix}: "
+                        f"{len(lora_a)}/{n_layers} layers"
+                    )
+                _set(
+                    blocks,
+                    path[:-1] + (path[-1] + "_lora",),
+                    {
+                        # minLoRA: A (rank, in), B (out, rank); ours are the
+                        # right-multiplication transposes.
+                        "a": jnp.asarray(np.stack([a.T for a in lora_a])),
+                        "b": jnp.asarray(np.stack([b.T for b in lora_b])),
+                    },
+                )
         params[side]["blocks"] = blocks
 
     return params
@@ -132,7 +157,13 @@ def params_to_state_dict(
 ) -> Dict[str, np.ndarray]:
     """Convert the JAX pytree back to an OpenAI-whisper state dict (numpy
     arrays; fp16 by default, matching the reference's ``save_model`` which
-    halves before saving, model_utils.py:130-135)."""
+    halves before saving, model_utils.py:130-135).
+
+    LoRA runs: unmerged adapters are written with torch-parametrize/minLoRA
+    key names (``<linear>.parametrizations.weight.original`` +
+    ``...weight.0.lora_A``/``lora_B``), so checkpoints interoperate with the
+    reference's LoRA checkpoints and its merge CLI contract
+    (merge_lora_weights.py:43-51)."""
     out: Dict[str, np.ndarray] = {}
 
     def put(name: str, arr, transpose: bool = False):
@@ -164,8 +195,20 @@ def params_to_state_dict(
         blocks = params[side]["blocks"]
         for path, suffix, transpose in maps:
             stacked = np.asarray(_get(blocks, path))
+            lora = None
+            try:
+                lora = _get(blocks, path[:-1] + (path[-1] + "_lora",))
+            except KeyError:
+                pass
             for i in range(n_layers):
-                put(f"{side}.blocks.{i}.{suffix}", stacked[i], transpose=transpose)
+                if lora is None:
+                    put(f"{side}.blocks.{i}.{suffix}", stacked[i], transpose=transpose)
+                else:
+                    prefix = suffix[: -len(".weight")]
+                    base = f"{side}.blocks.{i}.{prefix}.parametrizations.weight"
+                    put(f"{base}.original", stacked[i], transpose=transpose)
+                    put(f"{base}.0.lora_A", np.asarray(lora["a"])[i], transpose=True)
+                    put(f"{base}.0.lora_B", np.asarray(lora["b"])[i], transpose=True)
 
     return out
 
