@@ -105,12 +105,14 @@ def _bench_model(name: str, batch: int, steps: int = 10, warmup: int = 2):
 
     for _ in range(warmup):
         state, loss = step_fn(state, data, key)
-    loss.block_until_ready()
+    float(loss)  # hard host sync (block_until_ready alone can be lazy on
+    # remote-execution platforms)
     t0 = time.time()
     for _ in range(steps):
         state, loss = step_fn(state, data, key)
-    loss.block_until_ready()
+    final_loss = float(loss)
     dt = (time.time() - t0) / steps
+    assert np.isfinite(final_loss), f"non-finite loss {final_loss}"
     audio_hours_per_sec_per_chip = batch_global * 30.0 / 3600.0 / dt / n_dev
     return dims, dt, audio_hours_per_sec_per_chip
 

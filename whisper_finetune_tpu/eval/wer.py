@@ -30,6 +30,15 @@ def levenshtein(a: Sequence, b: Sequence) -> int:
     ai = np.fromiter((vocab.setdefault(t, len(vocab)) for t in a), np.int32, len(a))
     bi = np.fromiter((vocab.setdefault(t, len(vocab)) for t in b), np.int32, len(b))
 
+    try:  # C++ fast path (whisper_finetune_tpu/native)
+        from whisper_finetune_tpu.native import levenshtein_ids
+
+        native = levenshtein_ids(ai.tolist(), bi.tolist())
+        if native is not None:
+            return native
+    except Exception:
+        pass
+
     prev = np.arange(len(bi) + 1, dtype=np.int32)
     cur = np.empty_like(prev)
     for i, av in enumerate(ai, start=1):

@@ -74,6 +74,23 @@ class ByteLevelBPE:
         self._byte_encoder = bytes_to_unicode()
         self._byte_decoder = unicode_to_bytes()
         self._cache: Dict[str, List[str]] = {}
+        # Optional C++ fast path for the merge loop (the compute-heavy part
+        # of tokenization; see whisper_finetune_tpu/native). Falls back to
+        # the pure-Python loop when the toolchain is unavailable.
+        self._native = None
+        try:
+            from whisper_finetune_tpu.native import NativeBPE, get_lib
+
+            if get_lib() is not None:
+                triples = []
+                for rank, merge in enumerate(merges):
+                    left, right = merge.split(" ")
+                    triples.append(
+                        (vocab[left], vocab[right], vocab[left + right])
+                    )
+                self._native = NativeBPE(triples)
+        except Exception:
+            self._native = None
 
     # -- core BPE ----------------------------------------------------------
 
@@ -125,8 +142,16 @@ class ByteLevelBPE:
             piece = "".join(
                 self._byte_encoder[b] for b in match.group(0).encode("utf-8")
             )
-            for token in self._bpe(piece, dropout, rng):
-                ids.append(self.vocab[token])
+            if self._native is not None:
+                seed = rng.getrandbits(63) if (dropout > 0.0 and rng is not None) else 0
+                ids.extend(
+                    self._native.encode_piece(
+                        [self.vocab[c] for c in piece], dropout, seed
+                    )
+                )
+            else:
+                for token in self._bpe(piece, dropout, rng):
+                    ids.append(self.vocab[token])
         return ids
 
     def decode(self, ids: List[int]) -> str:
