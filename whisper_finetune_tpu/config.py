@@ -81,7 +81,10 @@ _TRAINING_DEFAULTS: Dict[str, Any] = {
     "gradient_checkpointing_encoder_last_only": False,
     "gradient_checkpointing_decoder": True,
     "ddp_find_unused_parameters": None,
+    # Extensions beyond the reference (which cannot resume): restore/save the
+    # full TrainState (params + optimizer + step) via orbax.
     "resume_from": None,
+    "save_train_state": False,
 }
 
 _AUG_DEFAULTS: Dict[str, Any] = {

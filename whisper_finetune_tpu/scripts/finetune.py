@@ -345,6 +345,10 @@ def main_loop(
         )
 
         if is_eval_step:
+            if rt.IS_MAIN and t_config.get("save_train_state"):
+                from whisper_finetune_tpu.train.state_io import save_train_state
+
+                save_train_state(os.path.join(save_dir, "train_state"), state)
             if rt.IS_MAIN and dev_loaders:
                 min_wer = _evaluate_and_maybe_checkpoint(
                     combine_params(state.trainable, state.frozen),
@@ -637,6 +641,16 @@ def main(config: Dict) -> None:
     from jax.sharding import NamedSharding, PartitionSpec
 
     state = jax.device_put(state, NamedSharding(mesh, PartitionSpec()))
+
+    if config["training"].get("resume_from"):
+        from whisper_finetune_tpu.train.state_io import load_train_state
+
+        state = load_train_state(config["training"]["resume_from"], state)
+        state = jax.device_put(state, NamedSharding(mesh, PartitionSpec()))
+        rt.print_once(
+            f"Resumed training state from {config['training']['resume_from']} "
+            f"at step {int(jax.device_get(state.step))}"
+        )
     step_fn = make_train_step(
         mesh,
         dims,
