@@ -74,6 +74,9 @@ class ForwardConfig:
     # body (see models/lora.py). 0.0 = adapters (if any) are inert.
     lora_scale: float = 0.0
     lora_dropout: float = 0.0
+    # Attention implementation: "xla" (reference-faithful fp32-score einsum)
+    # or "flash" (fused Pallas TPU kernel, see ops/attention.py).
+    attn_impl: str = "xla"
 
     @property
     def dtype(self):
@@ -237,27 +240,32 @@ def multi_head_attention(
     p: Params,
     n_head: int,
     dtype,
-    mask: Optional[jnp.ndarray] = None,
+    causal: bool = False,
+    impl: str = "xla",
 ) -> jnp.ndarray:
-    """Whisper-convention MHA: q and k each pre-scaled by d_head**-0.25,
-    fp32 softmax (openai-whisper ``qkv_attention`` semantics)."""
+    """Whisper-convention MHA (q and k each effectively scaled by
+    d_head**-0.25, fp32 softmax — openai-whisper ``qkv_attention``
+    semantics), dispatched to the XLA einsum path or the fused Pallas flash
+    kernel (ops/attention.py)."""
+    from whisper_finetune_tpu.ops.attention import attention
+
     B, T, d = x.shape
     S = kv.shape[1]
     d_head = d // n_head
-    scale = d_head ** -0.25
 
     q = _dense(x, p["q_w"], p["q_b"], dtype).reshape(B, T, n_head, d_head)
     k = _dense(kv, p["k_w"], None, dtype).reshape(B, S, n_head, d_head)
     v = _dense(kv, p["v_w"], p["v_b"], dtype).reshape(B, S, n_head, d_head)
 
-    qk = jnp.einsum(
-        "bthd,bshd->bhts", q * scale, k * scale,
-        preferred_element_type=jnp.float32,
+    o = attention(
+        q.transpose(0, 2, 1, 3),
+        k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3),
+        causal=causal,
+        sm_scale=float(d_head) ** -0.5,
+        impl=impl,
     )
-    if mask is not None:
-        qk = qk + mask[None, None, :T, :S]
-    w = jax.nn.softmax(qk, axis=-1).astype(dtype)
-    o = jnp.einsum("bhts,bshd->bthd", w, v).reshape(B, T, d)
+    o = o.transpose(0, 2, 1, 3).reshape(B, T, d).astype(dtype)
     return _dense(o, p["o_w"], p["o_b"], dtype)
 
 
@@ -308,7 +316,9 @@ def _encoder_block(
     if train and fcfg.dsa_apply:
         masked = _deep_spec_augment(x_ln, dsa_key, fcfg)
         x_ln = jnp.where(dsa_on, masked, x_ln)
-    x = x + multi_head_attention(x_ln, x_ln, bp["attn"], n_head, dtype)
+    x = x + multi_head_attention(
+        x_ln, x_ln, bp["attn"], n_head, dtype, impl=fcfg.attn_impl
+    )
     x = x + _mlp(layer_norm(x, bp["mlp_ln"]), bp["mlp"], dtype)
     return x
 
@@ -317,17 +327,17 @@ def _decoder_block(
     x: jnp.ndarray,
     bp: Params,
     xa: jnp.ndarray,
-    causal_mask: jnp.ndarray,
     fcfg: ForwardConfig,
     n_head: int,
 ) -> jnp.ndarray:
     dtype = fcfg.dtype
     x_ln = layer_norm(x, bp["attn_ln"])
     x = x + multi_head_attention(
-        x_ln, x_ln, bp["attn"], n_head, dtype, mask=causal_mask
+        x_ln, x_ln, bp["attn"], n_head, dtype, causal=True, impl=fcfg.attn_impl
     )
     x = x + multi_head_attention(
-        layer_norm(x, bp["cross_attn_ln"]), xa, bp["cross_attn"], n_head, dtype
+        layer_norm(x, bp["cross_attn_ln"]), xa, bp["cross_attn"], n_head, dtype,
+        impl=fcfg.attn_impl,
     )
     x = x + _mlp(layer_norm(x, bp["mlp_ln"]), bp["mlp"], dtype)
     return x
@@ -449,8 +459,6 @@ def decoder_forward(
     x = x.astype(dtype)
     xa = xa.astype(dtype)
 
-    causal = jnp.triu(jnp.full((T, T), -jnp.inf, jnp.float32), k=1)
-
     if rng is None:
         rng = jax.random.PRNGKey(0)
     layer_keys = jax.random.split(rng, L * 2).reshape(L, 2, 2)
@@ -465,7 +473,7 @@ def decoder_forward(
             )
 
         def run(x):
-            return _decoder_block(x, bp, xa, causal, fcfg, n_head)
+            return _decoder_block(x, bp, xa, fcfg, n_head)
 
         x = _stochastic_wrap(x, run, keys[0], fcfg.stochastic_depth, train)
         return x, None
