@@ -124,8 +124,14 @@ def log_mel_spectrogram(audio: jnp.ndarray, n_mels: int = 80) -> jnp.ndarray:
         (..., n_mels, n_samples // HOP_LENGTH) float32 log-mel features.
     """
     cos_np, sin_np = _dft_basis()
-    cos_mat = jnp.asarray(cos_np)
-    sin_mat = jnp.asarray(sin_np)
+    # Framing + windowed DFT as ONE strided convolution: kernel
+    # (n_fft, 1, 2*n_freqs) holding [cos | sin] windowed bases, stride = hop.
+    # XLA lowers this straight onto the MXU — no strided-gather
+    # materialization of the (B, frames, n_fft) tensor.
+    n_freqs = cos_np.shape[1]
+    basis = jnp.asarray(
+        np.concatenate([cos_np, sin_np], axis=1).reshape(N_FFT, 1, 2 * n_freqs)
+    )
     filters = jnp.asarray(mel_filterbank(n_mels))
 
     n_samples = audio.shape[-1]
@@ -135,20 +141,22 @@ def log_mel_spectrogram(audio: jnp.ndarray, n_mels: int = 80) -> jnp.ndarray:
     flat = audio.reshape((-1, n_samples)).astype(jnp.float32)
     padded = jnp.pad(flat, ((0, 0), (pad, pad)), mode="reflect")
 
-    num_frames = 1 + (padded.shape[-1] - N_FFT) // HOP_LENGTH
-    # Gather frames as a strided view: indices (num_frames, n_fft).
-    idx = (
-        jnp.arange(num_frames)[:, None] * HOP_LENGTH + jnp.arange(N_FFT)[None, :]
-    )
-    frames = padded[:, idx]  # (B, num_frames, n_fft)
+    spec = jax.lax.conv_general_dilated(
+        padded[:, :, None],
+        basis,
+        window_strides=(HOP_LENGTH,),
+        padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (B, num_frames, 2*n_freqs)
 
     # Whisper drops the final frame before the power spectrum.
-    frames = frames[:, :-1, :]
+    spec = spec[:, :-1, :]
+    real = spec[..., :n_freqs]
+    imag = spec[..., n_freqs:]
+    power = real * real + imag * imag  # (B, T, n_freqs)
 
     hi = jax.lax.Precision.HIGHEST
-    real = jnp.matmul(frames, cos_mat, precision=hi)
-    imag = jnp.matmul(frames, sin_mat, precision=hi)
-    power = real * real + imag * imag  # (B, T, n_freqs)
 
     mel = jnp.matmul(power, filters, precision=hi)  # (B, T, n_mels)
     log_spec = jnp.log10(jnp.maximum(mel, 1e-10))

@@ -123,10 +123,16 @@ def time_warp(mel: jnp.ndarray, key: jax.Array, W: int) -> jnp.ndarray:
     w1 = pos - i0.astype(jnp.float32)
     w0 = 1.0 - w1
 
-    g0 = jnp.take_along_axis(mel, i0[:, None, :].repeat(M, axis=1), axis=2)
-    g1 = jnp.take_along_axis(mel, i1[:, None, :].repeat(M, axis=1), axis=2)
-    warped = g0 * w0[:, None, :] + g1 * w1[:, None, :]
-    return jnp.where(in_range[:, None, :], warped, 0.0).astype(mel.dtype)
+    # Gather whole time rows on a time-major layout: a sublane-axis row
+    # gather keeps each fetched element a contiguous (n_mels,)-wide vector —
+    # orders of magnitude faster on TPU than per-element gathers along the
+    # 128-lane (time) axis of the (B, M, T) layout.
+    mel_t = jnp.swapaxes(mel, 1, 2)  # (B, T, M)
+    g0 = jnp.take_along_axis(mel_t, i0[:, :, None], axis=1)
+    g1 = jnp.take_along_axis(mel_t, i1[:, :, None], axis=1)
+    warped_t = g0 * w0[:, :, None] + g1 * w1[:, :, None]
+    warped_t = jnp.where(in_range[:, :, None], warped_t, 0.0)
+    return jnp.swapaxes(warped_t, 1, 2).astype(mel.dtype)
 
 
 def _axis_masks(key: jax.Array, B: int, size: int, mask_param: int) -> jnp.ndarray:

@@ -93,12 +93,23 @@ def _muon_bucket_metadata(
 
 
 def _adam_like(
-    conf: Dict, schedule: Optional[Schedule], decoupled: bool
+    conf: Dict, schedule: Optional[Schedule], decoupled: bool, use_8bit: bool = False
 ) -> optax.GradientTransformation:
     lr = float(conf.get("lr", 1e-3))
     betas = conf.get("betas", (0.9, 0.999))
     eps = float(conf.get("eps", 1e-8))
     wd = float(conf.get("weight_decay", 0.01 if decoupled else 0.0))
+    if use_8bit:
+        from whisper_finetune_tpu.optim.quantized import adam_8bit, adamw_8bit
+
+        maker = adamw_8bit if decoupled else adam_8bit
+        return maker(
+            learning_rate=_scheduled_lr(lr, schedule),
+            b1=float(betas[0]),
+            b2=float(betas[1]),
+            eps=eps,
+            weight_decay=wd,
+        )
     if decoupled:
         return optax.adamw(
             learning_rate=_scheduled_lr(lr, schedule),
@@ -140,17 +151,14 @@ def get_optimizer(
     Returns (transformation, group_metadata) where group_metadata mirrors the
     reference's ``_lr_group_metadata`` for LR logging.
     """
-    if optimizer_conf.get("8bit"):
+    use_8bit = bool(optimizer_conf.get("8bit"))
+    if use_8bit and is_lora_run:
+        print("WARNING: Using 8-bit optimizer with LoRA training.")
         print(
-            "WARNING: optimizer.8bit requested; TPU build keeps fp32 optimizer "
-            "state (bitsandbytes is CUDA-only). Proceeding with standard "
-            "optimizer."
+            "If you observe training instability or zero gradients, try "
+            "setting optimizer.8bit=False (8-bit state can quantize small "
+            "gradient values to zero)."
         )
-        if is_lora_run:
-            print(
-                "Note: the reference itself warns 8-bit state can zero small "
-                "LoRA gradients; fp32 state avoids that failure mode."
-            )
 
     if _use_muon(optimizer_conf):
         if optimizer_conf.get("type") not in (None, "adamw", "muon"):
@@ -158,6 +166,8 @@ def get_optimizer(
                 "WARNING: optimizer.type is ignored when optimizer.muon=True. "
                 "Using Muon with auxiliary AdamW."
             )
+        if use_8bit:
+            print("WARNING: optimizer.8bit=True is ignored for Muon.")
         ndim_threshold = int(optimizer_conf.get("muon_ndim_threshold", 2))
         if ndim_threshold < 1:
             raise ValueError(
@@ -229,9 +239,9 @@ def get_optimizer(
     otype = optimizer_conf.get("type")
     params_conf = optimizer_conf.get("params", {}) or {}
     if otype == "adam":
-        tx = _adam_like(params_conf, schedule, decoupled=False)
+        tx = _adam_like(params_conf, schedule, decoupled=False, use_8bit=use_8bit)
     elif otype == "adamw":
-        tx = _adam_like(params_conf, schedule, decoupled=True)
+        tx = _adam_like(params_conf, schedule, decoupled=True, use_8bit=use_8bit)
     else:
         raise ValueError(
             f"Unknown optimizer type: {otype}. Must be adam or adamw."

@@ -1,0 +1,181 @@
+"""Blockwise 8-bit optimizer state (bitsandbytes-Adam8bit capability,
+TPU-native).
+
+The reference exposes ``optimizer.8bit: true`` via bitsandbytes' CUDA kernels
+(reference src/whisper_finetune/model/optimizer.py:240-260). Here the same
+capability is an optax transform: both Adam moments are stored as int8 with
+per-block fp32 absmax scales (block 256, bnb's dynamic-quantization shape),
+dequantize -> update -> requantize entirely inside the jitted step. Small
+leaves stay fp32 (bnb's ``min_8bit_size`` behaviour) since quantizing tiny
+gains/biases saves nothing and costs precision.
+
+State memory per quantized leaf: 2 x (1 byte + 4/256 bytes) per parameter
+instead of 2 x 4 bytes — a 3.9x optimizer-state reduction, which is what
+makes full large-v3 fine-tuning fit a 16GB v5e chip.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Union, Callable, Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+BLOCK = 256
+MIN_QUANT_SIZE = 4096
+
+
+def _pad_len(n: int) -> int:
+    return (n + BLOCK - 1) // BLOCK * BLOCK
+
+
+def quantize_blockwise(x: jnp.ndarray):
+    """fp32 array -> (int8 codes, per-block fp32 scales)."""
+    flat = x.reshape(-1)
+    padded = jnp.pad(flat, (0, _pad_len(flat.size) - flat.size))
+    blocks = padded.reshape(-1, BLOCK)
+    scale = jnp.max(jnp.abs(blocks), axis=1, keepdims=True) / 127.0
+    safe = jnp.where(scale == 0, 1.0, scale)
+    codes = jnp.clip(jnp.round(blocks / safe), -127, 127).astype(jnp.int8)
+    return codes, scale.astype(jnp.float32)
+
+
+def dequantize_blockwise(codes: jnp.ndarray, scale: jnp.ndarray, shape) -> jnp.ndarray:
+    blocks = codes.astype(jnp.float32) * scale
+    n = 1
+    for d in shape:
+        n *= d
+    return blocks.reshape(-1)[:n].reshape(shape)
+
+
+# Non-negative second moments need a *relative*-precision code: a linear
+# absmax grid collapses small nu values to zero and the Adam denominator
+# sqrt(nu)+eps then explodes (bitsandbytes solves this with its nonlinear
+# "dynamic map"). We use a per-block log-scale codebook: 255 levels spanning
+# six decades below the block max (~2.7% relative error), code 0 = exact 0.
+_LOG_DECADES = 6.0
+_LOG_LEVELS = 254.0
+
+
+def quantize_log_blockwise(x: jnp.ndarray):
+    """Non-negative fp32 array -> (uint8 codes, per-block fp32 scales)."""
+    flat = x.reshape(-1)
+    padded = jnp.pad(flat, (0, _pad_len(flat.size) - flat.size))
+    blocks = padded.reshape(-1, BLOCK)
+    scale = jnp.max(blocks, axis=1, keepdims=True)
+    safe = jnp.where(scale == 0, 1.0, scale)
+    r = jnp.clip(blocks / safe, 0.0, 1.0)
+    logr = jnp.log10(jnp.maximum(r, 10.0 ** (-_LOG_DECADES)))
+    codes = 1.0 + jnp.round((logr + _LOG_DECADES) / _LOG_DECADES * _LOG_LEVELS)
+    codes = jnp.where(r == 0, 0.0, codes).astype(jnp.uint8)
+    return codes, scale.astype(jnp.float32)
+
+
+def dequantize_log_blockwise(codes: jnp.ndarray, scale: jnp.ndarray, shape) -> jnp.ndarray:
+    q = codes.astype(jnp.float32)
+    r = 10.0 ** ((q - 1.0) / _LOG_LEVELS * _LOG_DECADES - _LOG_DECADES)
+    blocks = jnp.where(q == 0, 0.0, r) * scale
+    n = 1
+    for d in shape:
+        n *= d
+    return blocks.reshape(-1)[:n].reshape(shape)
+
+
+class _QMoment(NamedTuple):
+    codes: jnp.ndarray
+    scale: jnp.ndarray
+
+
+class ScaleByAdam8bitState(NamedTuple):
+    count: jnp.ndarray
+    mu: Any  # per-leaf: _QMoment or fp32 array (small leaves)
+    nu: Any
+
+
+def scale_by_adam_8bit(
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+) -> optax.GradientTransformation:
+    def _is_q(leaf) -> bool:
+        return leaf.size >= MIN_QUANT_SIZE
+
+    def _q_zero(leaf, log: bool):
+        if not _is_q(leaf):
+            return jnp.zeros_like(leaf, jnp.float32)
+        quant = quantize_log_blockwise if log else quantize_blockwise
+        return _QMoment(*quant(jnp.zeros(leaf.shape, jnp.float32)))
+
+    def _load(stored, leaf, log: bool):
+        if isinstance(stored, _QMoment):
+            deq = dequantize_log_blockwise if log else dequantize_blockwise
+            return deq(stored.codes, stored.scale, leaf.shape)
+        return stored
+
+    def _store(value, leaf, log: bool):
+        if _is_q(leaf):
+            quant = quantize_log_blockwise if log else quantize_blockwise
+            return _QMoment(*quant(value))
+        return value
+
+    def init_fn(params):
+        mu = jax.tree_util.tree_map(lambda p: _q_zero(p, False), params)
+        nu = jax.tree_util.tree_map(lambda p: _q_zero(p, True), params)
+        return ScaleByAdam8bitState(jnp.zeros((), jnp.int32), mu, nu)
+
+    def update_fn(grads, state, params=None):
+        count = state.count + 1
+
+        flat_g, treedef = jax.tree_util.tree_flatten(grads)
+        flat_mu = treedef.flatten_up_to(state.mu)
+        flat_nu = treedef.flatten_up_to(state.nu)
+
+        new_updates, new_mu, new_nu = [], [], []
+        c1 = 1 - b1 ** count.astype(jnp.float32)
+        c2 = 1 - b2 ** count.astype(jnp.float32)
+        for g, mu_s, nu_s in zip(flat_g, flat_mu, flat_nu):
+            g32 = g.astype(jnp.float32)
+            mu = b1 * _load(mu_s, g, False) + (1 - b1) * g32
+            nu = b2 * _load(nu_s, g, True) + (1 - b2) * g32 * g32
+            upd = (mu / c1) / (jnp.sqrt(nu / c2) + eps)
+            new_updates.append(upd.astype(g.dtype))
+            new_mu.append(_store(mu, g, False))
+            new_nu.append(_store(nu, g, True))
+
+        updates = jax.tree_util.tree_unflatten(treedef, new_updates)
+        mu = jax.tree_util.tree_unflatten(treedef, new_mu)
+        nu = jax.tree_util.tree_unflatten(treedef, new_nu)
+        return updates, ScaleByAdam8bitState(count, mu, nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def adamw_8bit(
+    learning_rate: Union[float, Callable],
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    weight_decay: float = 1e-2,
+) -> optax.GradientTransformation:
+    return optax.chain(
+        scale_by_adam_8bit(b1, b2, eps),
+        optax.add_decayed_weights(weight_decay),
+        optax.scale_by_learning_rate(learning_rate),
+    )
+
+
+def adam_8bit(
+    learning_rate: Union[float, Callable],
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+) -> optax.GradientTransformation:
+    chain = []
+    if weight_decay:
+        chain.append(optax.add_decayed_weights(weight_decay))  # coupled L2
+    chain.extend(
+        [scale_by_adam_8bit(b1, b2, eps), optax.scale_by_learning_rate(learning_rate)]
+    )
+    return optax.chain(*chain)

@@ -319,13 +319,24 @@ def main_loop(
         )
     rt.barrier()
 
+    # Profiling hook (the reference's CUDA-memory-history equivalent,
+    # finetune.py:49,350-352): set WFT_PROFILE_DIR to capture an XLA device
+    # trace of steps 3-8, viewable in TensorBoard/Perfetto.
+    profile_dir = os.environ.get("WFT_PROFILE_DIR")
+
     train_steps = t_config["train_steps"]
     val_steps = t_config["val_steps"]
     for step in range(1, train_steps + 1):
+        if profile_dir and step == 3 and rt.IS_MAIN:
+            jax.profiler.start_trace(profile_dir)
         micro = [next(train_stream) for _ in range(accum_local)]
         batch = shard_batch(mesh, stack_microbatches(micro))
         state, loss = step_fn(state, batch, base_rng)
         train_loss = float(loss)
+
+        if profile_dir and step == 8 and rt.IS_MAIN:
+            jax.profiler.stop_trace()
+            rt.print_once(f"Profiler trace for steps 3-8 written to {profile_dir}")
 
         schedule_factor = float(schedule(step - 1)) if schedule is not None else 1.0
         log_data = _build_lr_log_dict(group_metadata, schedule_factor, train_loss)
