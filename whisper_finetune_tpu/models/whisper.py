@@ -87,6 +87,12 @@ def _remat(fn, fcfg: ForwardConfig):
     policy = None
     if fcfg.remat_policy == "dots":
         policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    elif fcfg.remat_policy == "attn":
+        # Keep only the softmaxed attention probabilities resident: the
+        # backward pass then skips recomputing the (B, H, T, T) fp32 score +
+        # softmax pipeline (the HBM-heaviest part of a block) at the cost of
+        # one bf16 probability tensor per layer.
+        policy = jax.checkpoint_policies.save_only_these_names("attn_probs")
     elif fcfg.remat_policy != "full":
         raise ValueError(f"Unknown remat_policy: {fcfg.remat_policy}")
     return jax.checkpoint(fn, prevent_cse=False, policy=policy)

@@ -103,6 +103,9 @@ def xla_mha(
     if mask is not None:
         qk = qk + mask[None, None, :Tq, :Tk]
     w = jax.nn.softmax(qk, axis=-1).astype(dtype)
+    from jax.ad_checkpoint import checkpoint_name
+
+    w = checkpoint_name(w, "attn_probs")
     return jnp.einsum("bhts,bhsd->bhtd", w, v)
 
 
