@@ -293,3 +293,40 @@ def test_muon_update_rms_matched():
 def test_muon_requires_known_type():
     with pytest.raises(ValueError):
         get_optimizer({"w": jnp.zeros((2, 2))}, {"type": "sgd", "muon": None, "8bit": False})
+
+
+def test_muon_sharded_ns_matches_replicated():
+    """Distributed Muon: per-device NS slices + all_gather must equal the
+    replicated computation (run inside a real 8-device shard_map)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from whisper_finetune_tpu.optim.muon import scale_by_muon
+    from whisper_finetune_tpu.parallel import get_data_mesh
+
+    mesh = get_data_mesh()
+    n_dev = mesh.devices.size
+    rng = np.random.default_rng(7)
+    params = {"blocks": {"w": jnp.asarray(rng.standard_normal((n_dev * 2, 32, 64)).astype(np.float32))}}
+    grads = {"blocks": {"w": jnp.asarray(rng.standard_normal((n_dev * 2, 32, 64)).astype(np.float32))}}
+
+    tx_rep = scale_by_muon(0.02)
+    state = tx_rep.init(params)
+    upd_rep, _ = tx_rep.update(grads, state, params)
+
+    tx_shard = scale_by_muon(0.02, shard_axis="data", shard_axis_size=n_dev)
+
+    def device_fn(g, p):
+        s = tx_shard.init(p)
+        u, _ = tx_shard.update(g, s, p)
+        return u
+
+    sharded = shard_map(
+        device_fn, mesh=mesh, in_specs=(P(), P()), out_specs=P(), check_vma=False
+    )
+    upd_shard = jax.jit(sharded)(grads, params)
+    np.testing.assert_allclose(
+        np.asarray(upd_rep["blocks"]["w"]),
+        np.asarray(upd_shard["blocks"]["w"]),
+        atol=5e-3,  # bf16 NS
+    )

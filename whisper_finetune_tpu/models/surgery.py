@@ -87,6 +87,17 @@ def resize_whisper_layers(
     return params, dims, changed
 
 
+def default_alignment_heads(n_text_layer: int, n_text_head: int) -> np.ndarray:
+    """Default word-alignment head mask after a decoder resize: all heads in
+    the upper half of the decoder (reference ``_reset_default_alignment_heads``,
+    model_utils.py:171-174). Alignment heads are an inference-time artifact
+    (word timestamps) and are not stored in checkpoints — this helper exists
+    for downstream consumers of resized models."""
+    heads = np.zeros((n_text_layer, n_text_head), dtype=bool)
+    heads[n_text_layer // 2 :] = True
+    return heads
+
+
 def resolve_model_architecture(model_config: dict) -> dict:
     """Resolve init/base names and optional layer targets from the ``model``
     config section (reference ``_resolve_model_architecture``,

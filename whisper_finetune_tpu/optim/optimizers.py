@@ -145,6 +145,8 @@ def get_optimizer(
     optimizer_conf: Dict,
     schedule: Optional[Schedule] = None,
     is_lora_run: bool = False,
+    data_shard_axis: Optional[str] = None,
+    data_axis_size: int = 1,
 ) -> Tuple[optax.GradientTransformation, List[Dict]]:
     """Build the optimizer chain for the trainable parameter tree.
 
@@ -203,6 +205,8 @@ def get_optimizer(
                     weight_decay=muon_wd,
                     match_adamw_update_rms=match,
                     match_factor=factor,
+                    shard_axis=data_shard_axis,
+                    shard_axis_size=data_axis_size,
                 ),
                 "adamw": _adam_like(adamw_conf, schedule, decoupled=True),
             },

@@ -326,12 +326,22 @@ def main_loop(
 
     train_steps = t_config["train_steps"]
     val_steps = t_config["val_steps"]
+
+    def next_device_batch():
+        micro = [next(train_stream) for _ in range(accum_local)]
+        return shard_batch(mesh, stack_microbatches(micro))
+
+    batch = next_device_batch()
     for step in range(1, train_steps + 1):
         if profile_dir and step == 3 and rt.IS_MAIN:
             jax.profiler.start_trace(profile_dir)
-        micro = [next(train_stream) for _ in range(accum_local)]
-        batch = shard_batch(mesh, stack_microbatches(micro))
         state, loss = step_fn(state, batch, base_rng)
+        # Overlap: the step is dispatched asynchronously; build + upload the
+        # next batch while the device computes, then sync on the loss (the
+        # H2D/host-build analogue of the reference's pin_memory +
+        # non_blocking copies, model_utils.py:60-62).
+        if step < train_steps:
+            batch = next_device_batch()
         train_loss = float(loss)
 
         if profile_dir and step == 8 and rt.IS_MAIN:
@@ -629,8 +639,17 @@ def main(config: Dict) -> None:
     # -- optimizer / scheduler -------------------------------------------------
     schedule = get_schedule(config["lr_scheduler"], config["training"]["train_steps"])
     trainable, frozen = partition_params(params, trainable_mask)
+    from whisper_finetune_tpu.parallel.mesh import DATA_AXIS
+
     opt, group_metadata = get_optimizer(
-        trainable, config["optimizer"], schedule=schedule, is_lora_run=is_lora_run
+        trainable,
+        config["optimizer"],
+        schedule=schedule,
+        is_lora_run=is_lora_run,
+        # Distributed Muon: Newton-Schulz sharded over the data axis inside
+        # the shard_map step (reference MuonWithAuxAdam behaviour).
+        data_shard_axis=DATA_AXIS,
+        data_axis_size=n_devices,
     )
     tx = optax.chain(
         optax.clip_by_global_norm(float(config["training"]["max_grad_norm"])), opt
