@@ -1,0 +1,66 @@
+"""Greedy decoding: the cached incremental decoder must reproduce the
+brute-force argmax loop over full teacher-forced forwards."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from whisper_finetune_tpu.models import ForwardConfig, ModelDimensions, init_params
+from whisper_finetune_tpu.models.decoding import greedy_decode
+from whisper_finetune_tpu.models.whisper import forward_impl
+
+DIMS = ModelDimensions(
+    n_mels=16, n_audio_ctx=32, n_audio_state=32, n_audio_head=2, n_audio_layer=2,
+    n_vocab=96, n_text_ctx=24, n_text_head=2, n_text_state=32, n_text_layer=2,
+)
+FCFG = ForwardConfig(compute_dtype="float32")
+EOT = 95
+
+
+def _brute_force(params, mel, init, n_gen):
+    tokens = np.asarray(init)
+    B = tokens.shape[0]
+    finished = np.zeros(B, bool)
+    out = []
+    for _ in range(n_gen):
+        logits = np.asarray(
+            forward_impl(params, mel, jnp.asarray(tokens), DIMS, FCFG)
+        )
+        nxt = logits[:, -1].argmax(-1).astype(np.int32)
+        nxt = np.where(finished, EOT, nxt)
+        out.append(nxt)
+        finished |= nxt == EOT
+        tokens = np.concatenate([tokens, nxt[:, None]], axis=1)
+    return np.stack(out, axis=1)
+
+
+def test_greedy_decode_matches_bruteforce():
+    params = init_params(jax.random.PRNGKey(0), DIMS)
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(
+        rng.standard_normal((2, DIMS.n_mels, DIMS.n_audio_ctx * 2)).astype(np.float32)
+    )
+    init = jnp.asarray(rng.integers(0, 64, (2, 3)).astype(np.int32))
+
+    max_len = 12
+    ours = np.asarray(
+        greedy_decode(params, mel, init, EOT, DIMS, FCFG, max_len=max_len)
+    )
+    ref = _brute_force(params, mel, init, max_len - 3)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_greedy_decode_eot_freezing():
+    params = init_params(jax.random.PRNGKey(1), DIMS)
+    rng = np.random.default_rng(1)
+    mel = jnp.asarray(
+        rng.standard_normal((1, DIMS.n_mels, DIMS.n_audio_ctx * 2)).astype(np.float32)
+    )
+    init = jnp.asarray([[1, 2]], jnp.int32)
+    out = np.asarray(greedy_decode(params, mel, init, EOT, DIMS, FCFG, max_len=16))
+    row = out[0].tolist()
+    if EOT in row:
+        first = row.index(EOT)
+        assert all(t == EOT for t in row[first:])
