@@ -29,6 +29,7 @@ from typing import Any, Callable, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
@@ -213,8 +214,17 @@ def shard_batch(mesh: Mesh, batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndar
     """Place a host batch onto the mesh with the global batch axis (axis 1)
     sharded over ``data`` — the input-pipeline replacement for the
     reference's DistributedSampler + H2D copy (finetune.py:620-627,
-    model_utils.py:60-62)."""
+    model_utils.py:60-62).
+
+    Multi-host: each process passes its ShardedSampler slice (the
+    process-local portion of the global batch) and the pieces assemble into
+    one global array."""
     sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+    if jax.process_count() > 1:
+        return {
+            k: jax.make_array_from_process_local_data(sharding, np.asarray(v))
+            for k, v in batch.items()
+        }
     return {k: jax.device_put(v, sharding) for k, v in batch.items()}
 
 
