@@ -491,10 +491,14 @@ def decoder_forward(
     x, _ = jax.lax.scan(scan_body, x, (dec["blocks"], layer_keys))
 
     x = layer_norm(x, dec["ln"])
-    # Tied output embedding with fp32 logits (model_utils.py:325 semantics).
+    # Tied output embedding, fp32 logits (model_utils.py:325 semantics: the
+    # reference's autocast computes this matmul in half precision and casts
+    # ``.float()`` after — so the matmul output is stored in the compute
+    # dtype here (fp32 MXU accumulation) and upcast for the loss, halving
+    # the (B, T, vocab) HBM write in bf16 runs).
     logits = jnp.matmul(
         x.astype(dtype), dec["tok_emb"].T.astype(dtype),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=dtype,
     )
     return logits.astype(jnp.float32)
 

@@ -351,6 +351,12 @@ def main_loop(
         schedule_factor = float(schedule(step - 1)) if schedule is not None else 1.0
         log_data = _build_lr_log_dict(group_metadata, schedule_factor, train_loss)
         is_eval_step = (step % val_steps) == 0 or step == train_steps
+        if is_eval_step:
+            # parameter-magnitude telemetry (the wandb.watch(model) analogue,
+            # reference finetune.py:151)
+            log_data["params/trainable_global_norm"] = float(
+                optax.global_norm(state.trainable)
+            )
         if lora_tracker is not None and is_eval_step:
             params_now = combine_params(state.trainable, state.frozen)
             log_data.update(get_lora_param_stats(params_now))
@@ -729,7 +735,7 @@ def main(config: Dict) -> None:
     rt.finish_wandb()
 
 
-if __name__ == "__main__":
+def cli() -> None:
     import argparse
 
     parser = argparse.ArgumentParser(description="Script Configuration")
@@ -741,3 +747,7 @@ if __name__ == "__main__":
         main(config)
     finally:
         rt.cleanup()
+
+
+if __name__ == "__main__":
+    cli()

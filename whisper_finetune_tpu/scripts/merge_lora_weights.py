@@ -57,7 +57,7 @@ def main(input_path: str, output_path: str, test_merge: bool = False,
         print(f"Merge verified: {changed} parameter groups changed vs base.")
 
 
-if __name__ == "__main__":
+def cli() -> None:
     parser = argparse.ArgumentParser(description="Merge LoRA weights")
     parser.add_argument("--input", required=True, help="Unmerged LoRA checkpoint (.pt)")
     parser.add_argument("--output", required=True, help="Output merged checkpoint (.pt)")
@@ -67,3 +67,7 @@ if __name__ == "__main__":
     parser.add_argument("--alpha", type=float, default=32.0)
     args = parser.parse_args()
     main(args.input, args.output, args.test_merge, args.rank, args.alpha)
+
+
+if __name__ == "__main__":
+    cli()
