@@ -182,3 +182,43 @@ def test_partition_combine_roundtrip():
         jax.tree_util.tree_leaves(merged), jax.tree_util.tree_leaves(params)
     ):
         np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+
+
+def test_train_step_with_sharded_muon():
+    """Full train step with the Muon optimizer (data-axis-sharded
+    Newton-Schulz) on the 8-device mesh."""
+    from whisper_finetune_tpu.optim import get_optimizer
+
+    mesh = get_data_mesh()
+    n_dev = mesh.devices.size
+    dims = DIMS.replace(n_audio_layer=n_dev, n_text_layer=2)
+    params = init_params(jax.random.PRNGKey(0), dims)
+    trainable, frozen = partition_params(params, None)
+    conf = {
+        "type": "adamw", "muon": True, "8bit": False,
+        "muon_params": {"lr": 0.01, "momentum": 0.95},
+        "params": {"lr": 1e-3},
+    }
+    opt, meta = get_optimizer(
+        trainable, conf, data_shard_axis="data", data_axis_size=n_dev
+    )
+    assert any(m["lr_log_label"] == "muon" for m in meta)
+    tx = optax.chain(optax.clip_by_global_norm(1.0), opt)
+    state = TrainState(trainable, frozen, tx.init(trainable), jnp.zeros((), jnp.int32))
+
+    step_fn = make_train_step(mesh, dims, FCFG, tx)
+    rng = np.random.default_rng(0)
+    batch = shard_batch(mesh, {
+        "mel": jnp.asarray(rng.standard_normal(
+            (1, 8, dims.n_mels, dims.n_audio_ctx * 2)).astype(np.float32)),
+        "dec_input": jnp.asarray(
+            rng.integers(0, dims.n_vocab, (1, 8, dims.n_text_ctx)).astype(np.int32)),
+        "dec_output": jnp.asarray(
+            rng.integers(0, dims.n_vocab, (1, 8, dims.n_text_ctx)).astype(np.int32)),
+    })
+    losses = []
+    for _ in range(3):
+        state, loss = step_fn(state, batch, jax.random.PRNGKey(0))
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
