@@ -124,3 +124,12 @@ def test_build_audio_augment():
     })
     aug = build_audio_augment(cfg2)
     assert aug is not None and len(aug.transforms) == 1
+
+
+def test_stochastic_depth_zeroed_on_frozen_side():
+    cfg = _config(train_only_decoder=True, stochastic_depth=0.3)
+    fcfg = build_forward_config(cfg, False)
+    assert fcfg.sd_encoder == 0.0 and fcfg.sd_decoder == 0.3
+    cfg2 = _config(train_only_encoder=True, stochastic_depth=0.3)
+    fcfg2 = build_forward_config(cfg2, False)
+    assert fcfg2.sd_encoder == 0.3 and fcfg2.sd_decoder == 0.0

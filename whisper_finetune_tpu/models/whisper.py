@@ -61,7 +61,12 @@ class ForwardConfig:
     # "dots" keeps matmul outputs resident (XLA's
     # dots_with_no_batch_dims_saveable) — faster when HBM allows.
     remat_policy: str = "full"
+    # Whole-layer drop probability, per side: the reference zeroes stochastic
+    # depth on a frozen encoder/decoder in train_only_* runs
+    # (finetune.py:423-425).
     stochastic_depth: float = 0.0
+    stochastic_depth_encoder: Optional[float] = None
+    stochastic_depth_decoder: Optional[float] = None
     # Deep SpecAugment (encoder-internal masking of normalized activations).
     dsa_apply: bool = False
     dsa_time_mask_param: int = 100
@@ -81,6 +86,22 @@ class ForwardConfig:
     @property
     def dtype(self):
         return jnp.dtype(self.compute_dtype)
+
+    @property
+    def sd_encoder(self) -> float:
+        return (
+            self.stochastic_depth
+            if self.stochastic_depth_encoder is None
+            else self.stochastic_depth_encoder
+        )
+
+    @property
+    def sd_decoder(self) -> float:
+        return (
+            self.stochastic_depth
+            if self.stochastic_depth_decoder is None
+            else self.stochastic_depth_decoder
+        )
 
 
 def _remat(fn, fcfg: ForwardConfig):
@@ -425,7 +446,7 @@ def encoder_forward(
         def run(x):
             return _encoder_block(x, bp, fcfg, n_head, dsa_on, keys[1], train)
 
-        x = _stochastic_wrap(x, run, keys[0], fcfg.stochastic_depth, train)
+        x = _stochastic_wrap(x, run, keys[0], fcfg.sd_encoder, train)
         return x, None
 
     scan_body = body
@@ -481,7 +502,7 @@ def decoder_forward(
         def run(x):
             return _decoder_block(x, bp, xa, fcfg, n_head)
 
-        x = _stochastic_wrap(x, run, keys[0], fcfg.stochastic_depth, train)
+        x = _stochastic_wrap(x, run, keys[0], fcfg.sd_decoder, train)
         return x, None
 
     scan_body = body

@@ -116,10 +116,11 @@ def build_forward_config(config: Dict, is_lora_run: bool) -> ForwardConfig:
     t = config["training"]
     aug = config["augmentation"]
     dsa = aug["deep_spec_augment"]
-    # train_only_* zeroes stochastic depth on the frozen side in the
-    # reference (finetune.py:423-425); here one scalar p applies to both
-    # sides, so mirror by disabling when either side is frozen and p > 0.
+    # train_only_* zeroes stochastic depth on the frozen side
+    # (reference finetune.py:423-425).
     sd = float(t["stochastic_depth"])
+    sd_encoder = 0.0 if t["train_only_decoder"] else sd
+    sd_decoder = 0.0 if t["train_only_encoder"] else sd
     lora_cfg = _lora_hparams(config["model"].get("lora_config", {}) or {})
     return ForwardConfig(
         compute_dtype=_compute_dtype(t),
@@ -127,6 +128,8 @@ def build_forward_config(config: Dict, is_lora_run: bool) -> ForwardConfig:
         remat_encoder_last_only=bool(t["gradient_checkpointing_encoder_last_only"]),
         remat_decoder=bool(t["gradient_checkpointing_decoder"]),
         stochastic_depth=sd,
+        stochastic_depth_encoder=sd_encoder,
+        stochastic_depth_decoder=sd_decoder,
         dsa_apply=bool(dsa["apply"]),
         dsa_time_mask_param=int(dsa["time_mask_param"]),
         dsa_freq_mask_param=int(dsa["freq_mask_param"]),
