@@ -26,6 +26,7 @@ import filecmp
 import json
 import math
 import os
+import time
 from pprint import pprint
 from typing import Dict, Optional
 
@@ -335,6 +336,7 @@ def main_loop(
         return shard_batch(mesh, stack_microbatches(micro))
 
     batch = next_device_batch()
+    last_step_time = None
     for step in range(1, train_steps + 1):
         if profile_dir and step == 3 and rt.IS_MAIN:
             jax.profiler.start_trace(profile_dir)
@@ -353,6 +355,21 @@ def main_loop(
 
         schedule_factor = float(schedule(step - 1)) if schedule is not None else 1.0
         log_data = _build_lr_log_dict(group_metadata, schedule_factor, train_loss)
+
+        # Throughput telemetry (per optimizer step, incl. host pipeline).
+        now = time.time()
+        if last_step_time is not None:
+            dt = now - last_step_time
+            samples_per_step = accum_local * jax.device_count() * int(
+                t_config.get("_per_device_batch", 0) or 0
+            )
+            log_data["perf/step_time_s"] = dt
+            if samples_per_step:
+                log_data["perf/samples_per_sec"] = samples_per_step / dt
+                log_data["perf/audio_hours_per_sec"] = (
+                    samples_per_step * 30 / 3600 / dt
+                )
+        last_step_time = now
         is_eval_step = (step % val_steps) == 0 or step == train_steps
         if is_eval_step:
             # parameter-magnitude telemetry (the wandb.watch(model) analogue,
@@ -573,6 +590,7 @@ def main(config: Dict) -> None:
     # batch_size * local_device_count, sharded over the mesh in shard_batch.
     per_device_batch = int(ds_config["batch_size"])
     host_batch = per_device_batch * local_devices
+    config["training"]["_per_device_batch"] = per_device_batch
 
     builder = SampleBuilder(
         tokenizer,
