@@ -298,3 +298,22 @@ def test_normalize_language_values():
     assert normalize_language(" de ") == "de"
     with pytest.raises(ValueError):
         normalize_language("klingon")
+
+
+def test_collate_bucketing_and_mixed_stack():
+    b = _builder()
+    short = [b.build(_record("ab"), random.Random(0)) for _ in range(2)]
+    long = [b.build(_record("x" * 200), random.Random(0)) for _ in range(2)]
+
+    batch_short = collate(short, pad_to=(64, 128, 448))
+    assert batch_short["dec_input"].shape[1] == 64
+    batch_long = collate(long, pad_to=(64, 128, 448))
+    assert batch_long["dec_input"].shape[1] == 448  # 200 chars + specials > 128
+
+    with pytest.raises(ValueError):
+        collate(long, pad_to=(64, 128))
+
+    stacked = stack_microbatches([batch_short, batch_long])
+    assert stacked["dec_input"].shape == (2, 2, 448)
+    assert stacked["dec_output"][0, 0, -1] == -100  # re-pad fill
+    assert stacked["dec_input"][0, 0, -1] == 0

@@ -61,6 +61,10 @@ _DATASET_DEFAULTS: Dict[str, Any] = {
     "train_num_workers": None,
     "eval_num_workers": 0,
     "drop_last": True,
+    # Extension: pad decoder tokens to the smallest of these bucket lengths
+    # instead of the fixed 448 context (bounded recompilation, less decoder
+    # compute on short transcripts). None = fixed 448.
+    "decoder_pad_buckets": None,
 }
 
 _TRAINING_DEFAULTS: Dict[str, Any] = {

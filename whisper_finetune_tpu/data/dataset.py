@@ -258,13 +258,28 @@ class SampleDataset:
         return self.get(index)
 
 
-def collate(samples: List[Dict[str, Any]], pad_to: Optional[int] = MODEL_N_TEXT_CTX) -> Dict[str, np.ndarray]:
+def collate(samples: List[Dict[str, Any]], pad_to=MODEL_N_TEXT_CTX) -> Dict[str, np.ndarray]:
     """Batch samples with fixed-shape padding: decoder input padded with 0,
     target with -100 (reference collate_fn, data_loader.py:362-367), but to a
     static length so XLA compiles one program (TPU static-shape requirement)
-    instead of per-max-length variants."""
+    instead of per-max-length variants.
+
+    ``pad_to`` may also be a sequence of bucket lengths (e.g. (128, 256,
+    448)): the smallest bucket holding the batch is chosen, bounding the
+    compiled-program count while skipping decoder compute on short batches.
+    """
     max_len = max(len(s["dec_input"]) for s in samples)
-    target_len = pad_to if pad_to is not None else max_len
+    if pad_to is None:
+        target_len = max_len
+    elif isinstance(pad_to, (list, tuple)):
+        fitting = [b for b in sorted(pad_to) if b >= max_len]
+        if not fitting:
+            raise ValueError(
+                f"Sequence length {max_len} exceeds largest bucket {max(pad_to)}"
+            )
+        target_len = fitting[0]
+    else:
+        target_len = pad_to
     if max_len > target_len:
         raise ValueError(f"Sequence length {max_len} exceeds pad_to={target_len}")
 

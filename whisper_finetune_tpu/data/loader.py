@@ -139,5 +139,21 @@ def stack_microbatches(
     batches: List[Dict[str, np.ndarray]]
 ) -> Dict[str, np.ndarray]:
     """Stack ``accum_local`` collated microbatches into the
-    (accum, batch, ...) arrays the train step scans over."""
-    return {k: np.stack([b[k] for b in batches]) for k in batches[0]}
+    (accum, batch, ...) arrays the train step scans over. With decoder
+    length bucketing, microbatches in one optimizer step may land in
+    different buckets — re-pad token arrays to the largest before stacking
+    (0 for inputs, -100 for targets)."""
+    out = {}
+    for k in batches[0]:
+        arrays = [b[k] for b in batches]
+        if k in ("dec_input", "dec_output") and len(
+            {a.shape[-1] for a in arrays}
+        ) > 1:
+            target = max(a.shape[-1] for a in arrays)
+            fill = -100 if k == "dec_output" else 0
+            arrays = [
+                np.pad(a, ((0, 0), (0, target - a.shape[-1])), constant_values=fill)
+                for a in arrays
+            ]
+        out[k] = np.stack(arrays)
+    return out

@@ -636,6 +636,8 @@ def main(config: Dict) -> None:
     eval_num_workers = int(ds_config.get("eval_num_workers") or 0)
     rt.print_once(f"Train loader workers: {train_num_workers}, eval workers: {eval_num_workers}")
 
+    pad_buckets = ds_config.get("decoder_pad_buckets")
+    pad_to = tuple(pad_buckets) if pad_buckets else 448
     train_loader = BatchLoader(
         train_ds,
         batch_size=host_batch,
@@ -643,6 +645,7 @@ def main(config: Dict) -> None:
         num_workers=int(train_num_workers),
         drop_last=train_drop_last,
         seed=int(config["seed"]),
+        pad_to=pad_to,
     )
     train_stream = infinite_batches(train_loader)
 
