@@ -179,3 +179,30 @@ def test_evaluate_single_dataset_perfect_predictions():
     assert np.isfinite(dm.mean_token_nll)
     # random model vs random targets: wer should be > 0
     assert dm.wer > 0
+
+
+def test_evaluate_on_mesh_with_row_padding():
+    """Mesh-parallel eval: batch not divisible by the device count is padded
+    with all -100 rows, which the per-utterance loop skips."""
+    from whisper_finetune_tpu.models import ForwardConfig, ModelDimensions, init_params
+    from whisper_finetune_tpu.parallel import get_data_mesh
+
+    dims = ModelDimensions(
+        n_mels=8, n_audio_ctx=16, n_audio_state=16, n_audio_head=2, n_audio_layer=1,
+        n_vocab=128, n_text_ctx=8, n_text_head=2, n_text_state=16, n_text_layer=1,
+    )
+    params = init_params(jax.random.PRNGKey(0), dims)
+    eval_step = make_eval_step(dims, ForwardConfig(compute_dtype="float32"))
+    mesh = get_data_mesh()
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "mel": rng.standard_normal((5, 8, 32)).astype(np.float32),  # 5 % 8 != 0
+        "dec_input": rng.integers(0, 99, (5, 8)).astype(np.int32),
+        "dec_output": rng.integers(0, 99, (5, 8)).astype(np.int32),
+    }
+    dm = evaluate_single_dataset(
+        eval_step, params, [batch], "meshy", DummyTokenizer(), mesh=mesh
+    )
+    assert dm.num_samples == 5  # padding rows skipped
+    assert np.isfinite(dm.mean_token_nll)

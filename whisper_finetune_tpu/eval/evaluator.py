@@ -79,16 +79,37 @@ def make_eval_step(
     return step
 
 
+def _pad_rows(batch: Dict, multiple: int) -> Dict:
+    """Pad the batch dimension to a multiple so it shards evenly over the
+    mesh. Padding rows carry all -100 targets, so the per-utterance loop
+    skips them (empty reference)."""
+    n = next(iter(batch.values())).shape[0]
+    pad = (-n) % multiple
+    if pad == 0:
+        return batch
+    out = {}
+    for k, v in batch.items():
+        fill = -100 if k == "dec_output" else 0
+        widths = [(0, pad)] + [(0, 0)] * (np.ndim(v) - 1)
+        out[k] = np.pad(np.asarray(v), widths, constant_values=fill)
+    return out
+
+
 def evaluate_single_dataset(
     eval_step: Callable,
     params,
     batches: Iterable,
     dataset_name: str,
     tokenizer,
+    mesh=None,
 ) -> DatasetMetrics:
     """Evaluate one dataset. ``batches`` yields dicts with ``mel``,
     ``dec_input``, ``dec_output`` (same contract as the train pipeline but
-    without prompts/timestamps — reference finetune.py:669-678)."""
+    without prompts/timestamps — reference finetune.py:669-678).
+
+    With ``mesh`` given, each batch is sharded over the data axis and the
+    teacher-forced forward runs SPMD across every chip (the reference
+    evaluates on rank 0's single GPU)."""
     special_ids = set(tokenizer.special_tokens.values())
     per_utterance: List[PerUtteranceMetrics] = []
     spec = VOCAB_SPECS["v0"]
@@ -98,13 +119,23 @@ def evaluate_single_dataset(
         device_batch = {
             k: batch[k] for k in keys + ("dec_input", "dec_output")
         }
+        if mesh is not None and mesh.devices.size > 1:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            device_batch = _pad_rows(device_batch, mesh.devices.size)
+            sharding = NamedSharding(mesh, PartitionSpec("data"))
+            device_batch = {
+                k: jax.device_put(v, sharding) for k, v in device_batch.items()
+            }
         pred, nll, pred_lp, entropy, conf = eval_step(params, device_batch)
         pred = np.asarray(pred)
         nll = np.asarray(nll)
         pred_lp = np.asarray(pred_lp)
         entropy = np.asarray(entropy)
         conf = np.asarray(conf)
-        targets = np.asarray(batch["dec_output"])
+        # use the (possibly row-padded) device batch so indices align; padded
+        # rows are all -100 and fall through the empty-reference skip
+        targets = np.asarray(device_batch["dec_output"])
 
         for i in range(pred.shape[0]):
             t_ids = targets[i]
@@ -165,6 +196,7 @@ def evaluate_multiple_datasets(
     params,
     dataloaders: Dict[str, Callable[[], Iterable]],
     tokenizer,
+    mesh=None,
 ) -> Tuple[List[DatasetMetrics], Dict[str, float]]:
     """Evaluate every validation dataset and macro-average
     (reference evaluator.py:134-183). ``dataloaders`` maps name -> a callable
@@ -172,7 +204,9 @@ def evaluate_multiple_datasets(
     all_metrics: List[DatasetMetrics] = []
     for name, make_batches in dataloaders.items():
         rt.print_once(f"\n{'=' * 60}\nEvaluating dataset: {name}\n{'=' * 60}")
-        dm = evaluate_single_dataset(eval_step, params, make_batches(), name, tokenizer)
+        dm = evaluate_single_dataset(
+            eval_step, params, make_batches(), name, tokenizer, mesh=mesh
+        )
         all_metrics.append(dm)
         rt.print_once(
             f"\nResults for {name}:\n"

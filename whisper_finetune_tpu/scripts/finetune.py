@@ -266,9 +266,10 @@ def _evaluate_and_maybe_checkpoint(
     step: int,
     min_wer: float,
     save_checkpoints: bool,
+    mesh=None,
 ) -> float:
     dataset_metrics, macro_metrics = evaluate_multiple_datasets(
-        eval_step, params, dev_loaders, tokenizer
+        eval_step, params, dev_loaders, tokenizer, mesh=mesh
     )
     eval_wer = macro_metrics["macro_wer"]
     if step == 0:
@@ -319,7 +320,7 @@ def main_loop(
         min_wer = _evaluate_and_maybe_checkpoint(
             combine_params(state.trainable, state.frozen),
             dims, eval_step, dev_loaders, tokenizer, save_dir,
-            step=0, min_wer=min_wer, save_checkpoints=False,
+            step=0, min_wer=min_wer, save_checkpoints=False, mesh=mesh,
         )
     rt.barrier()
 
@@ -402,6 +403,7 @@ def main_loop(
                     dims, eval_step, dev_loaders, tokenizer, save_dir,
                     step=step, min_wer=min_wer,
                     save_checkpoints=t_config["save_all_checkpoints"],
+                    mesh=mesh,
                 )
             rt.barrier()
 
