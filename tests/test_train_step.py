@@ -222,3 +222,60 @@ def test_train_step_with_sharded_muon():
         losses.append(float(loss))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def test_zero_shard_matches_replicated():
+    """ZeRO-1 optimizer-state sharding must produce bitwise-equivalent (up
+    to fp tolerance) parameters to the replicated update."""
+    from whisper_finetune_tpu.train.step import zero_state_sharding
+
+    mesh = get_data_mesh()
+    n_dev = mesh.devices.size
+    dims = DIMS.replace(n_audio_layer=n_dev, n_text_layer=n_dev)
+    tx = optax.adamw(learning_rate=1e-2, weight_decay=0.01)
+
+    def build_state():
+        params = init_params(jax.random.PRNGKey(2), dims)
+        trainable, frozen = partition_params(params, None)
+        return TrainState(trainable, frozen, tx.init(trainable), jnp.zeros((), jnp.int32))
+
+    rng = np.random.default_rng(4)
+    batch = {
+        "mel": jnp.asarray(rng.standard_normal(
+            (1, 8, dims.n_mels, dims.n_audio_ctx * 2)).astype(np.float32)),
+        "dec_input": jnp.asarray(
+            rng.integers(0, dims.n_vocab, (1, 8, dims.n_text_ctx)).astype(np.int32)),
+        "dec_output": jnp.asarray(
+            rng.integers(0, dims.n_vocab, (1, 8, dims.n_text_ctx)).astype(np.int32)),
+    }
+    key = jax.random.PRNGKey(0)
+
+    # replicated path (clip via make_train_step, not optax chain)
+    step_rep = make_train_step(mesh, dims, FCFG, tx, max_grad_norm=1.0)
+    s_rep = build_state()
+    for _ in range(3):
+        s_rep, loss_rep = step_rep(s_rep, shard_batch(mesh, batch), key)
+
+    # zero-sharded path
+    s_zero = build_state()
+    shardings = zero_state_sharding(mesh, s_zero)
+    s_zero = jax.device_put(s_zero, shardings)
+    step_zero = make_train_step(
+        mesh, dims, FCFG, tx, max_grad_norm=1.0,
+        zero_shard=True, zero_opt_state=s_zero.opt_state,
+    )
+    for _ in range(3):
+        s_zero, loss_zero = step_zero(s_zero, shard_batch(mesh, batch), key)
+
+    assert float(loss_rep) == pytest.approx(float(loss_zero), abs=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_rep.trainable),
+        jax.tree_util.tree_leaves(s_zero.trainable),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    # the optimizer state is genuinely distributed
+    from jax.sharding import PartitionSpec
+
+    mu = s_zero.opt_state[0].mu["encoder"]["blocks"]["attn"]["q_w"]
+    assert mu.sharding.spec == PartitionSpec("data")

@@ -89,6 +89,9 @@ _TRAINING_DEFAULTS: Dict[str, Any] = {
     # full TrainState (params + optimizer + step) via orbax.
     "resume_from": None,
     "save_train_state": False,
+    # Extension: ZeRO-1 — shard optimizer state over the data axis (fits
+    # full large-v3 fine-tuning on a v5e-8 pod slice).
+    "zero_shard_optimizer": False,
 }
 
 _AUG_DEFAULTS: Dict[str, Any] = {

@@ -673,19 +673,21 @@ def main(config: Dict) -> None:
     trainable, frozen = partition_params(params, trainable_mask)
     from whisper_finetune_tpu.parallel.mesh import DATA_AXIS
 
+    zero_shard = bool(config["training"].get("zero_shard_optimizer")) and n_devices > 1
     opt, group_metadata = get_optimizer(
         trainable,
         config["optimizer"],
         schedule=schedule,
         is_lora_run=is_lora_run,
         # Distributed Muon: Newton-Schulz sharded over the data axis inside
-        # the shard_map step (reference MuonWithAuxAdam behaviour).
-        data_shard_axis=DATA_AXIS,
-        data_axis_size=n_devices,
+        # the shard_map step (reference MuonWithAuxAdam behaviour). Under
+        # ZeRO the update itself is already sharded — no double slicing.
+        data_shard_axis=None if zero_shard else DATA_AXIS,
+        data_axis_size=1 if zero_shard else n_devices,
     )
-    tx = optax.chain(
-        optax.clip_by_global_norm(float(config["training"]["max_grad_norm"])), opt
-    )
+    # Gradient clipping happens inside the step on full synchronized grads
+    # (required for correct norms under ZeRO sharding).
+    tx = opt
     state = TrainState(
         trainable=trainable,
         frozen=frozen,
@@ -697,12 +699,19 @@ def main(config: Dict) -> None:
         pprint(config)
 
     mesh = get_data_mesh()
-    # Replicate the state over the mesh up front so the first step compiles
-    # with the same input shardings as every later step (otherwise step 2
-    # recompiles when the donated outputs come back mesh-placed).
+    # Place the state on the mesh up front so the first step compiles with
+    # the same input shardings as every later step (otherwise step 2
+    # recompiles when the donated outputs come back mesh-placed). ZeRO-1
+    # distributes the optimizer state across the data axis.
     from jax.sharding import NamedSharding, PartitionSpec
 
-    state = jax.device_put(state, NamedSharding(mesh, PartitionSpec()))
+    if zero_shard:
+        from whisper_finetune_tpu.train.step import zero_state_sharding
+
+        rt.print_once("ZeRO-1: optimizer state sharded over the data axis")
+        state = jax.device_put(state, zero_state_sharding(mesh, state))
+    else:
+        state = jax.device_put(state, NamedSharding(mesh, PartitionSpec()))
 
     if config["training"].get("resume_from"):
         from whisper_finetune_tpu.train.state_io import load_train_state
@@ -720,6 +729,9 @@ def main(config: Dict) -> None:
         tx,
         label_smoothing=float(config["training"]["label_smoothing"]),
         feat_cfg=feat_cfg,
+        max_grad_norm=float(config["training"]["max_grad_norm"]),
+        zero_shard=zero_shard,
+        zero_opt_state=state.opt_state if zero_shard else None,
     )
     eval_step = make_eval_step(dims, fcfg, n_mels=dims.n_mels)
 

@@ -110,6 +110,38 @@ def cross_entropy_loss(
 # Train step factory
 # ---------------------------------------------------------------------------
 
+def _zero_shardable(leaf, n_dev: int) -> bool:
+    """A leaf participates in ZeRO sharding iff its leading axis splits
+    evenly over the data axis (stacked-layer weights, positional embeddings;
+    token embeddings/convs stay replicated)."""
+    return (
+        hasattr(leaf, "ndim")
+        and leaf.ndim >= 1
+        and leaf.shape[0] >= n_dev
+        and leaf.shape[0] % n_dev == 0
+    )
+
+
+def zero_state_sharding(mesh: Mesh, state: TrainState) -> TrainState:
+    """Per-leaf shardings for ZeRO-1: optimizer state distributed over the
+    data axis, everything else replicated. Feed to ``jax.device_put`` and to
+    ``make_train_step(..., zero_shard=True)``'s in/out specs."""
+    n_dev = mesh.devices.size
+    rep = NamedSharding(mesh, P())
+    opt = jax.tree_util.tree_map(
+        lambda l: NamedSharding(mesh, P(DATA_AXIS))
+        if _zero_shardable(l, n_dev)
+        else rep,
+        state.opt_state,
+    )
+    return TrainState(
+        trainable=jax.tree_util.tree_map(lambda _: rep, state.trainable),
+        frozen=jax.tree_util.tree_map(lambda _: rep, state.frozen),
+        opt_state=opt,
+        step=rep,
+    )
+
+
 def make_train_step(
     mesh: Mesh,
     dims: ModelDimensions,
@@ -117,6 +149,9 @@ def make_train_step(
     tx: optax.GradientTransformation,
     label_smoothing: float = 0.0,
     feat_cfg=None,
+    max_grad_norm: Optional[float] = None,
+    zero_shard: bool = False,
+    zero_opt_state=None,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray], jnp.ndarray], tuple]:
     """Build the jitted data-parallel train step.
 
@@ -131,6 +166,15 @@ def make_train_step(
     the fused log-mel + SpecAugment stage (ops/spec_augment.py) runs inside
     this same program, fusing into the encoder input; otherwise batches carry
     precomputed ``mel``.
+
+    ``zero_shard=True`` enables ZeRO-1: optimizer state lives sharded over
+    the data axis (place the state with :func:`zero_state_sharding` first),
+    each device updates only its shard of the parameters, and one
+    ``all_gather`` reassembles the full update — optimizer memory drops by
+    the data-parallel width, which is what fits full large-v3 fine-tuning on
+    a v5e-8. Gradient clipping must then be requested via ``max_grad_norm``
+    (not an optax.clip in ``tx``), so the norm is computed on full gradients
+    before sharding.
     """
 
     def loss_fn(trainable, frozen, mb, rng):
@@ -187,7 +231,39 @@ def make_train_step(
         )
         loss = jax.lax.pmean(loss_sum / accum_local, DATA_AXIS)
 
-        updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
+        if max_grad_norm is not None:
+            # torch.nn.utils.clip_grad_norm_ semantics (model_utils.py:107):
+            # computed on the full synchronized gradients.
+            gnorm = optax.global_norm(grads)
+            clip = jnp.minimum(1.0, max_grad_norm / (gnorm + 1e-6))
+            grads = jax.tree_util.tree_map(lambda g: g * clip, grads)
+
+        if zero_shard and n_dev > 1:
+            idx = jax.lax.axis_index(DATA_AXIS)
+
+            def take_shard(leaf):
+                if _zero_shardable(leaf, n_dev):
+                    per = leaf.shape[0] // n_dev
+                    return jax.lax.dynamic_slice_in_dim(leaf, idx * per, per)
+                return leaf
+
+            shard_grads = jax.tree_util.tree_map(take_shard, grads)
+            shard_params = jax.tree_util.tree_map(take_shard, state.trainable)
+            shard_updates, opt_state = tx.update(
+                shard_grads, state.opt_state, shard_params
+            )
+
+            def gather(update, param_full):
+                if _zero_shardable(param_full, n_dev):
+                    return jax.lax.all_gather(update, DATA_AXIS, axis=0, tiled=True)
+                return update
+
+            updates = jax.tree_util.tree_map(
+                gather, shard_updates, state.trainable
+            )
+        else:
+            updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
+
         trainable = optax.apply_updates(state.trainable, updates)
         new_state = TrainState(
             trainable=trainable,
@@ -197,14 +273,30 @@ def make_train_step(
         )
         return new_state, loss
 
+    n_dev = mesh.devices.size
     rep = P()
     batch_spec = {k: P(None, DATA_AXIS) for k in data_keys}
+
+    state_spec = rep
+    if zero_shard and n_dev > 1:
+        if zero_opt_state is None:
+            raise ValueError(
+                "zero_shard=True needs zero_opt_state (the optimizer-state "
+                "pytree, for per-leaf partition specs)"
+            )
+        opt_spec = jax.tree_util.tree_map(
+            lambda l: P(DATA_AXIS) if _zero_shardable(l, n_dev) else rep,
+            zero_opt_state,
+        )
+        state_spec = TrainState(
+            trainable=rep, frozen=rep, opt_state=opt_spec, step=rep
+        )
 
     sharded = shard_map(
         device_step,
         mesh=mesh,
-        in_specs=(rep, batch_spec, rep),
-        out_specs=(rep, rep),
+        in_specs=(state_spec, batch_spec, rep),
+        out_specs=(state_spec, rep),
         check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,))
