@@ -279,3 +279,39 @@ def test_zero_shard_matches_replicated():
 
     mu = s_zero.opt_state[0].mu["encoder"]["blocks"]["attn"]["q_w"]
     assert mu.sharding.spec == PartitionSpec("data")
+
+
+def test_zero_shard_composes_with_8bit_state():
+    """ZeRO sharding + blockwise 8-bit moments: the per-shard quantization
+    blocks align with the parameter shards (row-major, block-multiple
+    shapes), so the composition runs and trains."""
+    from whisper_finetune_tpu.optim.quantized import adamw_8bit
+    from whisper_finetune_tpu.train.step import zero_state_sharding
+
+    mesh = get_data_mesh()
+    n_dev = mesh.devices.size
+    dims = DIMS.replace(n_audio_state=32, n_audio_layer=n_dev, n_text_layer=n_dev)
+    tx = adamw_8bit(1e-3, weight_decay=0.0)
+    params = init_params(jax.random.PRNGKey(3), dims)
+    trainable, frozen = partition_params(params, None)
+    state = TrainState(trainable, frozen, tx.init(trainable), jnp.zeros((), jnp.int32))
+    state = jax.device_put(state, zero_state_sharding(mesh, state))
+
+    step_fn = make_train_step(
+        mesh, dims, FCFG, tx, max_grad_norm=1.0,
+        zero_shard=True, zero_opt_state=state.opt_state,
+    )
+    rng = np.random.default_rng(5)
+    batch = shard_batch(mesh, {
+        "mel": jnp.asarray(rng.standard_normal(
+            (1, 8, dims.n_mels, dims.n_audio_ctx * 2)).astype(np.float32)),
+        "dec_input": jnp.asarray(
+            rng.integers(0, dims.n_vocab, (1, 8, dims.n_text_ctx)).astype(np.int32)),
+        "dec_output": jnp.asarray(
+            rng.integers(0, dims.n_vocab, (1, 8, dims.n_text_ctx)).astype(np.int32)),
+    })
+    losses = []
+    for _ in range(3):
+        state, loss = step_fn(state, batch, jax.random.PRNGKey(0))
+        losses.append(float(loss))
+    assert all(np.isfinite(losses)) and losses[-1] < losses[0]

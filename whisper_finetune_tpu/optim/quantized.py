@@ -113,8 +113,12 @@ def scale_by_adam_8bit(
             return deq(stored.codes, stored.scale, leaf.shape)
         return stored
 
-    def _store(value, leaf, log: bool):
-        if _is_q(leaf):
+    def _store(value, prev_state, log: bool):
+        # Structure-preserving: quantize iff the existing state is quantized
+        # (decided once at init on the full leaf). Keeps the state pytree
+        # stable when the transform runs on parameter *shards* (ZeRO-1),
+        # where the per-shard size may cross MIN_QUANT_SIZE.
+        if isinstance(prev_state, _QMoment):
             quant = quantize_log_blockwise if log else quantize_blockwise
             return _QMoment(*quant(value))
         return value
@@ -140,8 +144,8 @@ def scale_by_adam_8bit(
             nu = b2 * _load(nu_s, g, True) + (1 - b2) * g32 * g32
             upd = (mu / c1) / (jnp.sqrt(nu / c2) + eps)
             new_updates.append(upd.astype(g.dtype))
-            new_mu.append(_store(mu, g, False))
-            new_nu.append(_store(nu, g, True))
+            new_mu.append(_store(mu, mu_s, False))
+            new_nu.append(_store(nu, nu_s, True))
 
         updates = jax.tree_util.tree_unflatten(treedef, new_updates)
         mu = jax.tree_util.tree_unflatten(treedef, new_mu)
