@@ -224,31 +224,62 @@ def make_train_step(
             ({k: batch[k] for k in data_keys}, micro_rngs),
         )
 
-        # One collective per optimizer step: average over microbatches and
-        # the data axis.
-        grads = jax.tree_util.tree_map(
-            lambda g: jax.lax.pmean(g / accum_local, DATA_AXIS), grad_sum
-        )
         loss = jax.lax.pmean(loss_sum / accum_local, DATA_AXIS)
-
-        if max_grad_norm is not None:
-            # torch.nn.utils.clip_grad_norm_ semantics (model_utils.py:107):
-            # computed on the full synchronized gradients.
-            gnorm = optax.global_norm(grads)
-            clip = jnp.minimum(1.0, max_grad_norm / (gnorm + 1e-6))
-            grads = jax.tree_util.tree_map(lambda g: g * clip, grads)
 
         if zero_shard and n_dev > 1:
             idx = jax.lax.axis_index(DATA_AXIS)
 
             def take_shard(leaf):
-                if _zero_shardable(leaf, n_dev):
-                    per = leaf.shape[0] // n_dev
-                    return jax.lax.dynamic_slice_in_dim(leaf, idx * per, per)
-                return leaf
+                per = leaf.shape[0] // n_dev
+                return jax.lax.dynamic_slice_in_dim(leaf, idx * per, per)
 
-            shard_grads = jax.tree_util.tree_map(take_shard, grads)
-            shard_params = jax.tree_util.tree_map(take_shard, state.trainable)
+            # ZeRO-1 comm shape: reduce_scatter gradients for sharded leaves
+            # (each device receives only its averaged shard — half the bytes
+            # of a full allreduce), pmean the rest.
+            def reduce_to_shard(g):
+                g = g / accum_local
+                if _zero_shardable(g, n_dev):
+                    return (
+                        jax.lax.psum_scatter(
+                            g, DATA_AXIS, scatter_dimension=0, tiled=True
+                        )
+                        / n_dev
+                    )
+                return jax.lax.pmean(g, DATA_AXIS)
+
+            shard_grads = jax.tree_util.tree_map(reduce_to_shard, grad_sum)
+
+            if max_grad_norm is not None:
+                # Global norm reassembled from shards: sharded leaves sum
+                # their local squares (psum'd), replicated leaves count once.
+                sq_shard = sum(
+                    jnp.sum(jnp.square(g))
+                    for g, p in zip(
+                        jax.tree_util.tree_leaves(shard_grads),
+                        jax.tree_util.tree_leaves(state.trainable),
+                    )
+                    if _zero_shardable(p, n_dev)
+                )
+                sq_rep = sum(
+                    jnp.sum(jnp.square(g))
+                    for g, p in zip(
+                        jax.tree_util.tree_leaves(shard_grads),
+                        jax.tree_util.tree_leaves(state.trainable),
+                    )
+                    if not _zero_shardable(p, n_dev)
+                )
+                gnorm = jnp.sqrt(
+                    jax.lax.psum(sq_shard, DATA_AXIS) + sq_rep
+                )
+                clip = jnp.minimum(1.0, max_grad_norm / (gnorm + 1e-6))
+                shard_grads = jax.tree_util.tree_map(
+                    lambda g: g * clip, shard_grads
+                )
+
+            shard_params = jax.tree_util.tree_map(
+                lambda p: take_shard(p) if _zero_shardable(p, n_dev) else p,
+                state.trainable,
+            )
             shard_updates, opt_state = tx.update(
                 shard_grads, state.opt_state, shard_params
             )
@@ -262,6 +293,17 @@ def make_train_step(
                 gather, shard_updates, state.trainable
             )
         else:
+            # One collective per optimizer step (the reference's bucketed
+            # DDP allreduce collapsed to a single pmean).
+            grads = jax.tree_util.tree_map(
+                lambda g: jax.lax.pmean(g / accum_local, DATA_AXIS), grad_sum
+            )
+            if max_grad_norm is not None:
+                # torch.nn.utils.clip_grad_norm_ semantics
+                # (model_utils.py:107), on full synchronized gradients.
+                gnorm = optax.global_norm(grads)
+                clip = jnp.minimum(1.0, max_grad_norm / (gnorm + 1e-6))
+                grads = jax.tree_util.tree_map(lambda g: g * clip, grads)
             updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
 
         trainable = optax.apply_updates(state.trainable, updates)
