@@ -315,3 +315,29 @@ def test_zero_shard_composes_with_8bit_state():
         state, loss = step_fn(state, batch, jax.random.PRNGKey(0))
         losses.append(float(loss))
     assert all(np.isfinite(losses)) and losses[-1] < losses[0]
+
+
+def test_bf16_grad_accumulation_close_to_fp32():
+    mesh = get_data_mesh()
+    tx = optax.adamw(1e-3)
+    batch = shard_batch(mesh, _batch(accum=2, global_b=8, seed=9))
+    key = jax.random.PRNGKey(0)
+
+    s32 = _make_state(tx, seed=11)
+    step32 = make_train_step(mesh, DIMS, FCFG, tx, max_grad_norm=1.0)
+    s32, l32 = step32(s32, batch, key)
+
+    s16 = _make_state(tx, seed=11)
+    step16 = make_train_step(
+        mesh, DIMS, FCFG, tx, max_grad_norm=1.0, accum_dtype="bfloat16"
+    )
+    s16, l16 = step16(s16, shard_batch(mesh, _batch(accum=2, global_b=8, seed=9)), key)
+
+    assert float(l32) == pytest.approx(float(l16), abs=1e-4)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s32.trainable),
+        jax.tree_util.tree_leaves(s16.trainable),
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        # bf16-accumulated grads: updates agree to bf16-level tolerance
+        assert np.abs(a - b).max() < 5e-3

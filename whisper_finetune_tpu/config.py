@@ -92,6 +92,9 @@ _TRAINING_DEFAULTS: Dict[str, Any] = {
     # Extension: ZeRO-1 — shard optimizer state over the data axis (fits
     # full large-v3 fine-tuning on a v5e-8 pod slice).
     "zero_shard_optimizer": False,
+    # Extension: reduced-precision gradient accumulator ("bfloat16" halves
+    # the full-gradient HBM tree; None keeps fp32).
+    "grad_accum_dtype": None,
 }
 
 _AUG_DEFAULTS: Dict[str, Any] = {

@@ -732,6 +732,7 @@ def main(config: Dict) -> None:
         max_grad_norm=float(config["training"]["max_grad_norm"]),
         zero_shard=zero_shard,
         zero_opt_state=state.opt_state if zero_shard else None,
+        accum_dtype=config["training"].get("grad_accum_dtype"),
     )
     eval_step = make_eval_step(dims, fcfg, n_mels=dims.n_mels)
 

@@ -152,6 +152,7 @@ def make_train_step(
     max_grad_norm: Optional[float] = None,
     zero_shard: bool = False,
     zero_opt_state=None,
+    accum_dtype: Optional[str] = None,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray], jnp.ndarray], tuple]:
     """Build the jitted data-parallel train step.
 
@@ -209,13 +210,23 @@ def make_train_step(
         )
         micro_rngs = jax.random.split(dev_rng, accum_local)
 
-        zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.trainable)
+        # Optional reduced-precision gradient accumulator: halves the full
+        # gradient tree in HBM (what gates single-chip full-model training);
+        # per-microbatch grads are still computed in fp32.
+        acc_dt = jnp.dtype(accum_dtype) if accum_dtype else None
+        zero_grads = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, acc_dt or p.dtype), state.trainable
+        )
 
         def micro(carry, xs):
             grad_sum, loss_sum = carry
             mb, mrng = xs
             loss, grads = grad_fn(state.trainable, state.frozen, mb, mrng)
-            grad_sum = jax.tree_util.tree_map(jnp.add, grad_sum, grads)
+            grad_sum = jax.tree_util.tree_map(
+                lambda a, g: a + (g.astype(acc_dt) if acc_dt else g),
+                grad_sum,
+                grads,
+            )
             return (grad_sum, loss_sum + loss), None
 
         (grad_sum, loss_sum), _ = jax.lax.scan(
@@ -239,13 +250,15 @@ def make_train_step(
             def reduce_to_shard(g):
                 g = g / accum_local
                 if _zero_shardable(g, n_dev):
-                    return (
+                    g = (
                         jax.lax.psum_scatter(
                             g, DATA_AXIS, scatter_dimension=0, tiled=True
                         )
                         / n_dev
                     )
-                return jax.lax.pmean(g, DATA_AXIS)
+                else:
+                    g = jax.lax.pmean(g, DATA_AXIS)
+                return g.astype(jnp.float32) if acc_dt else g
 
             shard_grads = jax.tree_util.tree_map(reduce_to_shard, grad_sum)
 
@@ -296,7 +309,12 @@ def make_train_step(
             # One collective per optimizer step (the reference's bucketed
             # DDP allreduce collapsed to a single pmean).
             grads = jax.tree_util.tree_map(
-                lambda g: jax.lax.pmean(g / accum_local, DATA_AXIS), grad_sum
+                lambda g: (
+                    jax.lax.pmean(g / accum_local, DATA_AXIS).astype(jnp.float32)
+                    if acc_dt
+                    else jax.lax.pmean(g / accum_local, DATA_AXIS)
+                ),
+                grad_sum,
             )
             if max_grad_norm is not None:
                 # torch.nn.utils.clip_grad_norm_ semantics
