@@ -13,10 +13,11 @@ A100's 312 TFLOP/s fp16 peak — a deliberately generous stand-in for the
 PyTorch reference's single-A100 production config (sc_sbatch.sh:7-9,
 config_large_v3_best_muon.yaml).
 
-Model: large-v3 with LoRA (the memory-feasible single-v5e configuration —
-the reference's full-fine-tune optimizer state for 1.55B fp32 params needs
-an 80GB-class chip; LoRA keeps the same fwd/bwd compute path). Falls back to
-smaller presets if the chip runs out of memory.
+Primary configuration: FULL large-v3 fine-tuning (all 1.55B params — the
+reference's flagship config_large_v3_best_muon.yaml workload), made
+single-chip-feasible by the blockwise 8-bit optimizer state + bf16 gradient
+accumulator; the reference needs an 80GB-class GPU for the same run. Falls
+back to LoRA / smaller presets if the chip runs out of memory.
 """
 
 import json
@@ -54,10 +55,12 @@ def _flops_per_sample(dims) -> float:
     )
 
 
-def _bench_model(name: str, batch: int, steps: int = 10, warmup: int = 2):
+def _bench_model(name: str, batch: int, steps: int = 10, warmup: int = 2,
+                 lora: bool = False):
     from whisper_finetune_tpu.models import ForwardConfig, get_preset_dims, init_params
     from whisper_finetune_tpu.models.lora import apply_lora, lora_scale
     from whisper_finetune_tpu.ops.spec_augment import FeaturizeConfig
+    from whisper_finetune_tpu.optim.quantized import adamw_8bit
     from whisper_finetune_tpu.parallel import get_data_mesh
     from whisper_finetune_tpu.train.step import (
         TrainState,
@@ -69,17 +72,24 @@ def _bench_model(name: str, batch: int, steps: int = 10, warmup: int = 2):
 
     dims = get_preset_dims(name)
     params = init_params(jax.random.PRNGKey(0), dims)
-    params, mask = apply_lora(params, rank=16, alpha=32)
+    mask = None
+    scale = 0.0
+    if lora:
+        params, mask = apply_lora(params, rank=16, alpha=32)
+        scale = lora_scale(16, 32)
     trainable, frozen = partition_params(params, mask)
 
     mesh = get_data_mesh()
-    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-4))
+    tx = optax.adamw(1e-4) if lora else adamw_8bit(2e-5, weight_decay=0.01)
     state = TrainState(trainable, frozen, tx.init(trainable), jnp.zeros((), jnp.int32))
     state = jax.device_put(state, NamedSharding(mesh, P()))
 
-    fcfg = ForwardConfig(compute_dtype="bfloat16", lora_scale=lora_scale(16, 32))
+    fcfg = ForwardConfig(compute_dtype="bfloat16", lora_scale=scale)
     feat = FeaturizeConfig(n_mels=dims.n_mels, spec_augment=True, p=1.0)
-    step_fn = make_train_step(mesh, dims, fcfg, tx, 0.1, feat_cfg=feat)
+    step_fn = make_train_step(
+        mesh, dims, fcfg, tx, 0.1, feat_cfg=feat, max_grad_norm=1.0,
+        accum_dtype=None if lora else "bfloat16",
+    )
 
     n_dev = mesh.devices.size
     rng = np.random.default_rng(0)
@@ -118,11 +128,16 @@ def _bench_model(name: str, batch: int, steps: int = 10, warmup: int = 2):
 
 
 def main():
-    attempts = [("large-v3", 8), ("large-v3-turbo", 8), ("small", 16)]
+    attempts = [
+        ("large-v3 full fine-tune (8-bit state, bf16 accum)", "large-v3", 4, False),
+        ("large-v3 LoRA r16", "large-v3", 8, True),
+        ("large-v3-turbo full fine-tune (8-bit state)", "large-v3-turbo", 8, False),
+        ("small full fine-tune", "small", 16, False),
+    ]
     last_err = None
-    for name, batch in attempts:
+    for label, name, batch, lora in attempts:
         try:
-            dims, step_time, value = _bench_model(name, batch)
+            dims, step_time, value = _bench_model(name, batch, lora=lora)
             flops = _flops_per_sample(dims)
             # A100 estimate: fwd+bwd+remat ~= 4x fwd FLOPs, 45% MFU of 312e12.
             a100_samples_per_sec = (312e12 * 0.45) / (4 * flops)
@@ -130,7 +145,7 @@ def main():
             print(
                 json.dumps(
                     {
-                        "metric": f"fine-tune audio-hours/sec/chip ({name}, LoRA, "
+                        "metric": f"fine-tune audio-hours/sec/chip ({label}, "
                         "fused on-device featurize)",
                         "value": round(value, 4),
                         "unit": "audio-hours/sec/chip",
@@ -143,7 +158,7 @@ def main():
             return
         except Exception as e:  # noqa: BLE001 - fall through to smaller model
             last_err = e
-            print(f"# bench for {name} failed ({type(e).__name__}); trying smaller")
+            print(f"# bench for {label} failed ({type(e).__name__}); trying fallback")
     raise SystemExit(f"bench failed for all model sizes: {last_err}")
 
 
