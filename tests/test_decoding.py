@@ -64,3 +64,25 @@ def test_greedy_decode_eot_freezing():
     if EOT in row:
         first = row.index(EOT)
         assert all(t == EOT for t in row[first:])
+
+
+def test_transcribe_batch_glue():
+    """transcribe_batch: raw audio -> text through the real tokenizer (tiny
+    random model; output is gibberish but the pipeline must hold together)."""
+    from whisper_finetune_tpu.models.decoding import transcribe_batch
+    from whisper_finetune_tpu.tokenizer import get_tokenizer
+
+    dims = ModelDimensions(
+        n_mels=80, n_audio_ctx=1500, n_audio_state=32, n_audio_head=2,
+        n_audio_layer=1, n_vocab=51866, n_text_ctx=448, n_text_head=2,
+        n_text_state=32, n_text_layer=1,
+    )
+    params = init_params(jax.random.PRNGKey(0), dims)
+    tok = get_tokenizer(language="de", task="transcribe")
+    audio = np.random.default_rng(0).standard_normal((2, 480000)).astype(np.float32) * 0.05
+    texts = transcribe_batch(
+        params, dims, audio, tok, fcfg=ForwardConfig(compute_dtype="float32"),
+        max_len=12,
+    )
+    assert len(texts) == 2
+    assert all(isinstance(t, str) for t in texts)
