@@ -129,7 +129,7 @@ def _bench_model(name: str, batch: int, steps: int = 10, warmup: int = 2,
 
 def main():
     attempts = [
-        ("large-v3 full fine-tune (8-bit state, bf16 accum)", "large-v3", 4, False),
+        ("large-v3 full fine-tune (8-bit state, bf16 accum)", "large-v3", 6, False),
         ("large-v3 LoRA r16", "large-v3", 8, True),
         ("large-v3-turbo full fine-tune (8-bit state)", "large-v3-turbo", 8, False),
         ("small full fine-tune", "small", 16, False),
