@@ -336,6 +336,15 @@ def main_loop(
         micro = [next(train_stream) for _ in range(accum_local)]
         return shard_batch(mesh, stack_microbatches(micro))
 
+    # Progress bar on the main process (reference finetune.py:175); falls
+    # back to periodic prints when tqdm is unavailable.
+    try:
+        from tqdm import tqdm
+
+        pbar = tqdm(total=train_steps, disable=not rt.IS_MAIN, dynamic_ncols=True)
+    except ImportError:
+        pbar = None
+
     batch = next_device_batch()
     last_step_time = None
     for step in range(1, train_steps + 1):
@@ -383,7 +392,10 @@ def main_loop(
             log_data.update(get_lora_param_stats(params_now))
             log_data.update(lora_tracker.update_and_stats(params_now))
         rt.log(log_data, step=step)
-        if rt.IS_MAIN and step % 10 == 0:
+        if pbar is not None:
+            pbar.update(1)
+            pbar.set_postfix({"loss": f"{train_loss:.4f}"})
+        elif rt.IS_MAIN and step % 10 == 0:
             print(f"step {step}/{train_steps} loss={train_loss:.4f}")
 
         # Divergence kill-switch (reference finetune.py:193-195).
@@ -407,6 +419,8 @@ def main_loop(
                 )
             rt.barrier()
 
+    if pbar is not None:
+        pbar.close()
     if rt.IS_MAIN:
         save_checkpoint(
             f"{save_dir}/last_model.pt",
