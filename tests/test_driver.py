@@ -133,3 +133,9 @@ def test_stochastic_depth_zeroed_on_frozen_side():
     cfg2 = _config(train_only_encoder=True, stochastic_depth=0.3)
     fcfg2 = build_forward_config(cfg2, False)
     assert fcfg2.sd_encoder == 0.3 and fcfg2.sd_decoder == 0.0
+
+
+def test_attn_impl_config_key():
+    cfg = _config(attn_impl="flash")
+    assert build_forward_config(cfg, False).attn_impl == "flash"
+    assert build_forward_config(_config(), False).attn_impl == "xla"

@@ -95,6 +95,9 @@ _TRAINING_DEFAULTS: Dict[str, Any] = {
     # Extension: reduced-precision gradient accumulator ("bfloat16" halves
     # the full-gradient HBM tree; None keeps fp32).
     "grad_accum_dtype": None,
+    # Extension: attention implementation ("xla" default; "flash" = fused
+    # Pallas kernel, faster forward / slower backward on v5e).
+    "attn_impl": "xla",
 }
 
 _AUG_DEFAULTS: Dict[str, Any] = {

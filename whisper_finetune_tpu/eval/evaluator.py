@@ -54,6 +54,7 @@ def make_eval_step(
         stochastic_depth=0.0,
         dsa_apply=False,
         lora_scale=fcfg.lora_scale,
+        attn_impl=fcfg.attn_impl,
     )
     feat_cfg = FeaturizeConfig(n_mels=n_mels or dims.n_mels)
 

@@ -142,6 +142,7 @@ def build_forward_config(config: Dict, is_lora_run: bool) -> ForwardConfig:
             lora_scale(lora_cfg["rank"], lora_cfg["alpha"]) if is_lora_run else 0.0
         ),
         lora_dropout=lora_cfg["dropout"] if is_lora_run else 0.0,
+        attn_impl=str(t.get("attn_impl", "xla")),
     )
 
 

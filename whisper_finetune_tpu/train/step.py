@@ -393,6 +393,7 @@ def make_eval_forward(
         stochastic_depth=0.0,
         dsa_apply=False,
         lora_scale=fcfg.lora_scale,  # unmerged adapters still apply at eval
+        attn_impl=fcfg.attn_impl,
     )
 
     @jax.jit
