@@ -206,3 +206,32 @@ def test_evaluate_on_mesh_with_row_padding():
     )
     assert dm.num_samples == 5  # padding rows skipped
     assert np.isfinite(dm.mean_token_nll)
+
+
+def test_evaluate_on_mesh_with_audio_input():
+    """Mesh eval with raw-audio batches: padded rows get a valid crop count
+    and the on-device featurize path stays finite."""
+    from whisper_finetune_tpu.models import ForwardConfig, ModelDimensions, init_params
+    from whisper_finetune_tpu.parallel import get_data_mesh
+
+    dims = ModelDimensions(
+        n_mels=80, n_audio_ctx=1500, n_audio_state=16, n_audio_head=2,
+        n_audio_layer=1, n_vocab=128, n_text_ctx=8, n_text_head=2,
+        n_text_state=16, n_text_layer=1,
+    )
+    params = init_params(jax.random.PRNGKey(0), dims)
+    eval_step = make_eval_step(dims, ForwardConfig(compute_dtype="float32"))
+    mesh = get_data_mesh()
+
+    rng = np.random.default_rng(1)
+    batch = {
+        "audio": (rng.standard_normal((3, 480000)) * 0.05).astype(np.float32),
+        "crop_frames": np.full((3,), 3000, np.int32),
+        "dec_input": rng.integers(0, 99, (3, 8)).astype(np.int32),
+        "dec_output": rng.integers(0, 99, (3, 8)).astype(np.int32),
+    }
+    dm = evaluate_single_dataset(
+        eval_step, params, [batch], "audio_mesh", DummyTokenizer(), mesh=mesh
+    )
+    assert dm.num_samples == 3
+    assert np.isfinite(dm.mean_token_nll)

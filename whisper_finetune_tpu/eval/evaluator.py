@@ -90,7 +90,12 @@ def _pad_rows(batch: Dict, multiple: int) -> Dict:
         return batch
     out = {}
     for k, v in batch.items():
-        fill = -100 if k == "dec_output" else 0
+        if k == "dec_output":
+            fill = -100
+        elif k == "crop_frames":
+            fill = 3000  # keep the featurize crop valid for padding rows
+        else:
+            fill = 0
         widths = [(0, pad)] + [(0, 0)] * (np.ndim(v) - 1)
         out[k] = np.pad(np.asarray(v), widths, constant_values=fill)
     return out
