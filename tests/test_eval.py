@@ -144,6 +144,14 @@ def test_normalize_text_specs():
     assert normalize_text("a-b/c", **VOCAB_SPECS["v0"]) == "a b c"
 
 
+def test_normalize_s_cedilla_both_codepoints_v0():
+    # The reference's v0 char_lookup maps BOTH s-comma (U+0219) and s-cedilla
+    # (U+015F) to "s" (reference eval/utils.py:33-34, verified by codepoint).
+    assert normalize_text("pașa paşa", **VOCAB_SPECS["v0"]) == "pasa pasa"
+    assert "ș" in VOCAB_SPECS["v0"]["char_lookup"]
+    assert "ş" in VOCAB_SPECS["v0"]["char_lookup"]
+
+
 class DummyTokenizer:
     """Fixed-id tokenizer like the reference test stubs
     (tests/test_data_loader.py:53-64): ids < 100 are letters, specials above."""

@@ -6,9 +6,11 @@ Capability parity with the reference's ``get_optimizer``
 * ``type: adam`` / ``adamw`` with the config's ``params`` passed through
   (torch-default hyperparameters where unspecified; torch ``Adam``'s coupled
   L2 vs ``AdamW``'s decoupled decay semantics are both reproduced),
-* ``8bit: true`` is accepted for config parity; TPU HBM budgets differ from
-  the CUDA bitsandbytes context, so it maps to standard fp32-state optax with
-  a warning (the reference itself warns it can zero small LoRA gradients),
+* ``8bit: true`` dispatches to the blockwise-quantized int8 optimizer state
+  in optim/quantized.py (adam_8bit/adamw_8bit) — the bitsandbytes equivalent:
+  first/second moments stored as int8 blocks with per-block scales and a
+  log-codebook for the second moment; a warning mirrors the reference's note
+  that 8-bit state can zero very small LoRA gradients,
 * ``muon: true`` partitions trainable parameters exactly like the reference
   (optimizer.py:9-52): matrices inside encoder/decoder blocks go to Muon,
   everything else (gains/biases, embeddings, convs, final norms) to auxiliary

@@ -337,18 +337,34 @@ def main_loop(
         micro = [next(train_stream) for _ in range(accum_local)]
         return shard_batch(mesh, stack_microbatches(micro))
 
+    # Resume: the restored state.step is the number of optimizer steps already
+    # taken, so run only the remainder (steps start_step+1 .. train_steps) —
+    # keeping step numbers, checkpoint names, and the restored optax schedule
+    # count all on the same global clock.
+    start_step = int(jax.device_get(state.step))
+    if start_step >= train_steps:
+        rt.print_once(
+            f"Resumed state is already at step {start_step} >= "
+            f"train_steps {train_steps}; nothing to train."
+        )
+
     # Progress bar on the main process (reference finetune.py:175); falls
     # back to periodic prints when tqdm is unavailable.
     try:
         from tqdm import tqdm
 
-        pbar = tqdm(total=train_steps, disable=not rt.IS_MAIN, dynamic_ncols=True)
+        pbar = tqdm(
+            total=train_steps,
+            initial=start_step,
+            disable=not rt.IS_MAIN,
+            dynamic_ncols=True,
+        )
     except ImportError:
         pbar = None
 
-    batch = next_device_batch()
+    batch = next_device_batch() if start_step < train_steps else None
     last_step_time = None
-    for step in range(1, train_steps + 1):
+    for step in range(start_step + 1, train_steps + 1):
         if profile_dir and step == 3 and rt.IS_MAIN:
             jax.profiler.start_trace(profile_dir)
         state, loss = step_fn(state, batch, base_rng)
@@ -732,7 +748,13 @@ def main(config: Dict) -> None:
         from whisper_finetune_tpu.train.state_io import load_train_state
 
         state = load_train_state(config["training"]["resume_from"], state)
-        state = jax.device_put(state, NamedSharding(mesh, PartitionSpec()))
+        # Re-place with the SAME sharding as the fresh state: under ZeRO the
+        # optimizer state must stay sharded over the data axis, or resuming
+        # would replicate it on every chip and undo the memory savings.
+        if zero_shard:
+            state = jax.device_put(state, zero_state_sharding(mesh, state))
+        else:
+            state = jax.device_put(state, NamedSharding(mesh, PartitionSpec()))
         rt.print_once(
             f"Resumed training state from {config['training']['resume_from']} "
             f"at step {int(jax.device_get(state.step))}"
