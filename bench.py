@@ -84,7 +84,11 @@ def _bench_model(name: str, batch: int, steps: int = 10, warmup: int = 2,
     state = TrainState(trainable, frozen, tx.init(trainable), jnp.zeros((), jnp.int32))
     state = jax.device_put(state, NamedSharding(mesh, P()))
 
-    fcfg = ForwardConfig(compute_dtype="bfloat16", lora_scale=scale)
+    from whisper_finetune_tpu.ops.attention import resolve_auto_impls
+
+    fcfg = ForwardConfig(
+        compute_dtype="bfloat16", lora_scale=scale, **resolve_auto_impls()
+    )
     feat = FeaturizeConfig(n_mels=dims.n_mels, spec_augment=True, p=1.0)
     step_fn = make_train_step(
         mesh, dims, fcfg, tx, 0.1, feat_cfg=feat, max_grad_norm=1.0,

@@ -138,4 +138,9 @@ def test_stochastic_depth_zeroed_on_frozen_side():
 def test_attn_impl_config_key():
     cfg = _config(attn_impl="flash")
     assert build_forward_config(cfg, False).attn_impl == "flash"
-    assert build_forward_config(_config(), False).attn_impl == "xla"
+    # default is "auto": on the CPU test platform it resolves to plain xla
+    # with no per-site overrides (splash needs a TPU)
+    fcfg = build_forward_config(_config(), False)
+    assert fcfg.attn_impl == "xla"
+    assert fcfg.attn_impl_encoder is None
+    assert fcfg.enc_attn == "xla" and fcfg.dec_attn == "xla"

@@ -103,3 +103,128 @@ def test_8bit_under_jit():
     p, s = step(params, state, g)
     p, s = step(p, s, g)
     assert np.isfinite(np.asarray(p["w"])).all()
+
+
+# ---------------------------------------------------------------------------
+# Fused one-pass update (ops/fused_adamw8.py, Pallas interpret mode on CPU)
+# ---------------------------------------------------------------------------
+
+def _unfused_steps(tx, params, state, grads_list, clip=None):
+    for g in grads_list:
+        if clip is not None:
+            gnorm = optax.global_norm(g)
+            c = jnp.minimum(1.0, clip / (gnorm + 1e-6))
+            g = jax.tree_util.tree_map(lambda x: x * c, g)
+        updates, state = tx.update(g, state, params)
+        params = optax.apply_updates(params, updates)
+    return params, state
+
+
+def _fused_steps(tx, params, state, grads_list, clip=None):
+    for g in grads_list:
+        gs = None
+        if clip is not None:
+            gnorm = jnp.sqrt(sum(
+                jnp.sum(jnp.square(x.astype(jnp.float32)))
+                for x in jax.tree_util.tree_leaves(g)
+            ))
+            gs = jnp.minimum(1.0, clip / (gnorm + 1e-6))
+        params, state = tx.fused_apply(g, state, params, g_scale=gs)
+    return params, state
+
+
+@pytest.mark.parametrize("use_schedule", [False, True])
+def test_fused_apply_matches_unfused(use_schedule):
+    lr = (lambda c: 1e-2 * (1.0 + 0.5 * c)) if use_schedule else 1e-2
+    tx = adamw_8bit(lr, weight_decay=0.01)
+    rng = np.random.default_rng(0)
+    params = {
+        "big": jnp.asarray(rng.standard_normal(MIN_QUANT_SIZE), jnp.float32),
+        "small": jnp.asarray(rng.standard_normal(16), jnp.float32),
+    }
+    grads_list = [
+        {
+            "big": jnp.asarray(
+                rng.standard_normal(MIN_QUANT_SIZE) * 0.1, jnp.float32
+            ),
+            "small": jnp.asarray(rng.standard_normal(16) * 0.1, jnp.float32),
+        }
+        for _ in range(3)
+    ]
+    p_ref, s_ref = _unfused_steps(tx, params, tx.init(params), grads_list)
+    p_fus, s_fus = _fused_steps(tx, params, tx.init(params), grads_list)
+
+    for k in params:
+        np.testing.assert_allclose(
+            np.asarray(p_fus[k]), np.asarray(p_ref[k]), rtol=0, atol=1e-6
+        )
+    assert int(s_fus[0].count) == int(s_ref[0].count) == 3
+    # moment codes agree within one quantization level
+    from whisper_finetune_tpu.optim.quantized import _QMoment
+
+    assert isinstance(s_fus[0].mu["big"], _QMoment)
+    d = np.abs(
+        np.asarray(s_fus[0].mu["big"].codes, np.int32)
+        - np.asarray(s_ref[0].mu["big"].codes, np.int32)
+    )
+    assert d.max() <= 1
+
+
+def test_fused_apply_clip_matches_unfused_clip():
+    tx = adamw_8bit(5e-3, weight_decay=0.005)
+    rng = np.random.default_rng(1)
+    params = {"w": jnp.asarray(rng.standard_normal(MIN_QUANT_SIZE), jnp.float32)}
+    grads_list = [
+        {"w": jnp.asarray(rng.standard_normal(MIN_QUANT_SIZE) * 5, jnp.float32)}
+        for _ in range(2)
+    ]
+    p_ref, _ = _unfused_steps(tx, params, tx.init(params), grads_list, clip=1.0)
+    p_fus, _ = _fused_steps(tx, params, tx.init(params), grads_list, clip=1.0)
+    np.testing.assert_allclose(
+        np.asarray(p_fus["w"]), np.asarray(p_ref["w"]), rtol=0, atol=1e-6
+    )
+
+
+def test_train_step_uses_fused_path_and_converges():
+    # make_train_step with adamw_8bit must run end-to-end through the fused
+    # branch (Pallas interpret mode on the CPU mesh) and reduce the loss.
+    from whisper_finetune_tpu.models import ForwardConfig, ModelDimensions, init_params
+    from whisper_finetune_tpu.parallel import get_data_mesh
+    from whisper_finetune_tpu.train.step import (
+        TrainState,
+        make_train_step,
+        partition_params,
+        shard_batch,
+    )
+
+    dims = ModelDimensions(
+        n_mels=8, n_audio_ctx=16, n_audio_state=16, n_audio_head=2,
+        n_audio_layer=2, n_vocab=64, n_text_ctx=8, n_text_head=2,
+        n_text_state=16, n_text_layer=2,
+    )
+    params = init_params(jax.random.PRNGKey(0), dims)
+    trainable, frozen = partition_params(params, None)
+    mesh = get_data_mesh()
+    tx = adamw_8bit(1e-2)
+    assert hasattr(tx, "fused_apply")
+    state = TrainState(trainable, frozen, tx.init(trainable), jnp.zeros((), jnp.int32))
+    fcfg = ForwardConfig(compute_dtype="float32")
+    step_fn = make_train_step(mesh, dims, fcfg, tx, 0.0, max_grad_norm=1.0)
+
+    rng = np.random.default_rng(0)
+    batch = shard_batch(
+        mesh,
+        {
+            "mel": jnp.asarray(
+                rng.standard_normal((1, 8, dims.n_mels, 32)), jnp.float32
+            ),
+            "dec_input": jnp.asarray(rng.integers(0, 64, (1, 8, 8)), jnp.int32),
+            "dec_output": jnp.asarray(rng.integers(0, 64, (1, 8, 8)), jnp.int32),
+        },
+    )
+    losses = []
+    for i in range(5):
+        state, loss = step_fn(state, batch, jax.random.PRNGKey(1))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert int(jax.device_get(state.step)) == 5

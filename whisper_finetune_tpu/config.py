@@ -95,9 +95,11 @@ _TRAINING_DEFAULTS: Dict[str, Any] = {
     # Extension: reduced-precision gradient accumulator ("bfloat16" halves
     # the full-gradient HBM tree; None keeps fp32).
     "grad_accum_dtype": None,
-    # Extension: attention implementation ("xla" default; "flash" = fused
-    # Pallas kernel, faster forward / slower backward on v5e).
-    "attn_impl": "xla",
+    # Extension: attention implementation. "auto" (default) picks the
+    # measured-fastest per-site mix for the platform (splash Pallas kernels
+    # for encoder self-attention on TPU, XLA everywhere else and off-TPU);
+    # explicit values: "xla", "flash", "splash", "flash_fwd".
+    "attn_impl": "auto",
 }
 
 _AUG_DEFAULTS: Dict[str, Any] = {

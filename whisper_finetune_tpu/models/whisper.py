@@ -79,9 +79,16 @@ class ForwardConfig:
     # body (see models/lora.py). 0.0 = adapters (if any) are inert.
     lora_scale: float = 0.0
     lora_dropout: float = 0.0
-    # Attention implementation: "xla" (reference-faithful fp32-score einsum)
-    # or "flash" (fused Pallas TPU kernel, see ops/attention.py).
+    # Attention implementation: "xla" (reference-faithful einsum),
+    # "flash" (legacy Pallas kernel), "splash" (fused fwd+bwd Pallas
+    # kernels), or "flash_fwd" (flash fwd + XLA bwd) — see ops/attention.py.
+    # Per-site overrides fall back to attn_impl when None; the measured
+    # fastest mix on v5e is splash for the 1500-frame encoder self-attention
+    # with xla elsewhere (tools/bench_attention.py).
     attn_impl: str = "xla"
+    attn_impl_encoder: Optional[str] = None
+    attn_impl_decoder: Optional[str] = None
+    attn_impl_cross: Optional[str] = None
 
     @property
     def dtype(self):
@@ -102,6 +109,18 @@ class ForwardConfig:
             if self.stochastic_depth_decoder is None
             else self.stochastic_depth_decoder
         )
+
+    @property
+    def enc_attn(self) -> str:
+        return self.attn_impl_encoder or self.attn_impl
+
+    @property
+    def dec_attn(self) -> str:
+        return self.attn_impl_decoder or self.attn_impl
+
+    @property
+    def cross_attn(self) -> str:
+        return self.attn_impl_cross or self.attn_impl
 
 
 def _remat(fn, fcfg: ForwardConfig):
@@ -344,7 +363,7 @@ def _encoder_block(
         masked = _deep_spec_augment(x_ln, dsa_key, fcfg)
         x_ln = jnp.where(dsa_on, masked, x_ln)
     x = x + multi_head_attention(
-        x_ln, x_ln, bp["attn"], n_head, dtype, impl=fcfg.attn_impl
+        x_ln, x_ln, bp["attn"], n_head, dtype, impl=fcfg.enc_attn
     )
     x = x + _mlp(layer_norm(x, bp["mlp_ln"]), bp["mlp"], dtype)
     return x
@@ -360,11 +379,11 @@ def _decoder_block(
     dtype = fcfg.dtype
     x_ln = layer_norm(x, bp["attn_ln"])
     x = x + multi_head_attention(
-        x_ln, x_ln, bp["attn"], n_head, dtype, causal=True, impl=fcfg.attn_impl
+        x_ln, x_ln, bp["attn"], n_head, dtype, causal=True, impl=fcfg.dec_attn
     )
     x = x + multi_head_attention(
         layer_norm(x, bp["cross_attn_ln"]), xa, bp["cross_attn"], n_head, dtype,
-        impl=fcfg.attn_impl,
+        impl=fcfg.cross_attn,
     )
     x = x + _mlp(layer_norm(x, bp["mlp_ln"]), bp["mlp"], dtype)
     return x

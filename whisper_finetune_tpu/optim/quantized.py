@@ -155,17 +155,126 @@ def scale_by_adam_8bit(
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+class FusedGradientTransformation(NamedTuple):
+    """optax-duck-typed transform with an extra whole-update fast path.
+
+    ``init``/``update`` are the standard optax pair (the unfused chain).
+    ``fused_apply(grads, state, params, g_scale) -> (params, state)`` performs
+    update + weight decay + LR + apply in ONE pass (a Pallas kernel per
+    quantized leaf on TPU, ops/fused_adamw8.py) with identical math; the
+    train step uses it when available.
+    """
+
+    init: Callable
+    update: Callable
+    fused_apply: Callable
+
+
+def _make_fused_apply(
+    learning_rate, b1: float, b2: float, eps: float, weight_decay: float
+):
+    schedule = learning_rate if callable(learning_rate) else None
+
+    def _leaf_plain(p, g, mu, nu, lr, c1, c2, g_scale):
+        g32 = g.astype(jnp.float32) * g_scale
+        mu = b1 * mu + (1 - b1) * g32
+        nu = b2 * nu + (1 - b2) * g32 * g32
+        upd = (mu / c1) / (jnp.sqrt(nu / c2) + eps)
+        return p - lr * (upd + weight_decay * p), mu, nu
+
+    def fused_apply(grads, state, params, g_scale=None):
+        s_adam, s_wd, s_lr = state
+        count = s_adam.count + 1  # matches update_fn's increment exactly
+        c1 = 1 - b1 ** count.astype(jnp.float32)
+        c2 = 1 - b2 ** count.astype(jnp.float32)
+        lr = (
+            schedule(s_lr.count) if schedule is not None else learning_rate
+        )
+        lr = jnp.asarray(lr, jnp.float32)
+        gs = (
+            jnp.asarray(1.0, jnp.float32)
+            if g_scale is None
+            else g_scale.astype(jnp.float32)
+        )
+        interpret = jax.devices()[0].platform == "cpu"
+
+        flat_g, treedef = jax.tree_util.tree_flatten(grads)
+        flat_p = treedef.flatten_up_to(params)
+        flat_mu = treedef.flatten_up_to(s_adam.mu)
+        flat_nu = treedef.flatten_up_to(s_adam.nu)
+
+        new_p, new_mu, new_nu = [], [], []
+        for p, g, mu_s, nu_s in zip(flat_p, flat_g, flat_mu, flat_nu):
+            if isinstance(mu_s, _QMoment) and p.size % BLOCK == 0:
+                from whisper_finetune_tpu.ops.fused_adamw8 import (
+                    fused_adamw8_leaf,
+                )
+
+                p2, mc, ms, nc, ns = fused_adamw8_leaf(
+                    p.reshape(-1, BLOCK).astype(jnp.float32),
+                    g.reshape(-1, BLOCK),
+                    mu_s.codes, mu_s.scale, nu_s.codes, nu_s.scale,
+                    lr, c1, c2, gs,
+                    b1=b1, b2=b2, eps=eps, wd=weight_decay,
+                    interpret=interpret,
+                )
+                new_p.append(p2.reshape(p.shape))
+                new_mu.append(_QMoment(mc, ms))
+                new_nu.append(_QMoment(nc, ns))
+            else:
+                mu0 = _load(mu_s, p, False) if isinstance(mu_s, _QMoment) else mu_s
+                nu0 = _load(nu_s, p, True) if isinstance(nu_s, _QMoment) else nu_s
+                p2, mu, nu = _leaf_plain(p, g, mu0, nu0, lr, c1, c2, gs)
+                new_p.append(p2)
+                new_mu.append(
+                    _QMoment(*quantize_blockwise(mu))
+                    if isinstance(mu_s, _QMoment)
+                    else mu
+                )
+                new_nu.append(
+                    _QMoment(*quantize_log_blockwise(nu))
+                    if isinstance(nu_s, _QMoment)
+                    else nu
+                )
+
+        params_out = jax.tree_util.tree_unflatten(treedef, new_p)
+        state_out = (
+            ScaleByAdam8bitState(
+                count,
+                jax.tree_util.tree_unflatten(treedef, new_mu),
+                jax.tree_util.tree_unflatten(treedef, new_nu),
+            ),
+            s_wd,
+            optax.ScaleByScheduleState(optax.safe_increment(s_lr.count))
+            if schedule is not None
+            else s_lr,
+        )
+        return params_out, state_out
+
+    return fused_apply
+
+
+def _load(stored, leaf, log: bool):
+    deq = dequantize_log_blockwise if log else dequantize_blockwise
+    return deq(stored.codes, stored.scale, leaf.shape)
+
+
 def adamw_8bit(
     learning_rate: Union[float, Callable],
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
     weight_decay: float = 1e-2,
-) -> optax.GradientTransformation:
-    return optax.chain(
+) -> FusedGradientTransformation:
+    chain = optax.chain(
         scale_by_adam_8bit(b1, b2, eps),
         optax.add_decayed_weights(weight_decay),
         optax.scale_by_learning_rate(learning_rate),
+    )
+    return FusedGradientTransformation(
+        chain.init,
+        chain.update,
+        _make_fused_apply(learning_rate, b1, b2, eps, weight_decay),
     )
 
 

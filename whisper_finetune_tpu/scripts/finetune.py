@@ -123,6 +123,13 @@ def build_forward_config(config: Dict, is_lora_run: bool) -> ForwardConfig:
     sd_encoder = 0.0 if t["train_only_decoder"] else sd
     sd_decoder = 0.0 if t["train_only_encoder"] else sd
     lora_cfg = _lora_hparams(config["model"].get("lora_config", {}) or {})
+    attn_impl = str(t.get("attn_impl", "auto"))
+    if attn_impl == "auto":
+        from whisper_finetune_tpu.ops.attention import resolve_auto_impls
+
+        attn_kwargs = resolve_auto_impls()
+    else:
+        attn_kwargs = {"attn_impl": attn_impl}
     return ForwardConfig(
         compute_dtype=_compute_dtype(t),
         remat_encoder=bool(t["gradient_checkpointing_encoder"]),
@@ -142,7 +149,7 @@ def build_forward_config(config: Dict, is_lora_run: bool) -> ForwardConfig:
             lora_scale(lora_cfg["rank"], lora_cfg["alpha"]) if is_lora_run else 0.0
         ),
         lora_dropout=lora_cfg["dropout"] if is_lora_run else 0.0,
-        attn_impl=str(t.get("attn_impl", "xla")),
+        **attn_kwargs,
     )
 
 

@@ -195,6 +195,9 @@ def make_train_step(
         return cross_entropy_loss(logits, mb["dec_output"], label_smoothing)
 
     grad_fn = jax.value_and_grad(loss_fn)
+    # One-pass fused update (adamw_8bit's Pallas kernel); ZeRO keeps the
+    # generic shard-update-gather flow.
+    fused_apply = getattr(tx, "fused_apply", None)
     data_keys = (
         ("audio", "crop_frames", "dec_input", "dec_output")
         if feat_cfg is not None
@@ -305,6 +308,33 @@ def make_train_step(
             updates = jax.tree_util.tree_map(
                 gather, shard_updates, state.trainable
             )
+        elif fused_apply is not None:
+            # Fused path: grads stay in the accumulator dtype; the clip
+            # factor rides into the one-pass Pallas update kernel
+            # (ops/fused_adamw8.py) as a scalar, so no scaled-grads or
+            # fp32-cast passes over the tree exist at all.
+            grads = jax.tree_util.tree_map(
+                lambda g: jax.lax.pmean(g / accum_local, DATA_AXIS), grad_sum
+            )
+            clip = None
+            if max_grad_norm is not None:
+                gnorm = jnp.sqrt(
+                    sum(
+                        jnp.sum(jnp.square(g.astype(jnp.float32)))
+                        for g in jax.tree_util.tree_leaves(grads)
+                    )
+                )
+                clip = jnp.minimum(1.0, max_grad_norm / (gnorm + 1e-6))
+            trainable, opt_state = fused_apply(
+                grads, state.opt_state, state.trainable, g_scale=clip
+            )
+            new_state = TrainState(
+                trainable=trainable,
+                frozen=state.frozen,
+                opt_state=opt_state,
+                step=state.step + 1,
+            )
+            return new_state, loss
         else:
             # One collective per optimizer step (the reference's bucketed
             # DDP allreduce collapsed to a single pmean).
@@ -394,6 +424,9 @@ def make_eval_forward(
         dsa_apply=False,
         lora_scale=fcfg.lora_scale,  # unmerged adapters still apply at eval
         attn_impl=fcfg.attn_impl,
+        attn_impl_encoder=fcfg.attn_impl_encoder,
+        attn_impl_decoder=fcfg.attn_impl_decoder,
+        attn_impl_cross=fcfg.attn_impl_cross,
     )
 
     @jax.jit
