@@ -29,3 +29,8 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Tests (and their subprocesses) deliberately train tiny models from random
+# initialization; production runs hard-error without pretrained weights
+# (models/checkpoint.py load_model).
+os.environ.setdefault("WFT_ALLOW_RANDOM_INIT", "1")

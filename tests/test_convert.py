@@ -65,3 +65,67 @@ def test_infer_multilinguality():
     assert infer_multilinguality(51865) == (True, 99)   # v1/v2 multilingual
     assert infer_multilinguality(51866) == (True, 100)  # large-v3 (+yue)
     assert infer_multilinguality(51864) == (False, 0)   # english-only
+
+
+def test_build_generation_config_offline_synthesis():
+    # no network/cache in this image -> exercises the tokenizer-derived path
+    from whisper_finetune_tpu.scripts.convert_openai_to_hf import (
+        build_generation_config,
+    )
+
+    cfg = build_generation_config(True, 100)
+    assert cfg.decoder_start_token_id == 50258  # <|startoftranscript|>
+    assert cfg.no_timestamps_token_id == 50364
+    assert cfg.task_to_id == {"transcribe": 50360, "translate": 50359}
+    assert len(cfg.lang_to_id) == 100 and cfg.lang_to_id["<|de|>"] == 50261
+    assert cfg.max_length == 448
+    assert 220 in cfg.begin_suppress_tokens
+    assert len(cfg.suppress_tokens) > 50  # non-speech symbol ids
+
+    en = build_generation_config(False, 0)
+    assert en.is_multilingual is False and en.max_length == 448
+
+
+def test_local_only_hf_cache_layout(tmp_path):
+    # reference --local-only shape (upload_model_to_hub.py:282-342):
+    # models--org--repo/refs/main + snapshots/<40-hex>/<files>
+    from whisper_finetune_tpu.scripts.upload_model_to_hub import (
+        build_readme,
+        write_to_hf_cache,
+    )
+
+    pt = tmp_path / "best_model.pt"
+    pt.write_bytes(b"fake checkpoint")
+    ct2 = tmp_path / "ct2"
+    ct2.mkdir()
+    (ct2 / "model.bin").write_bytes(b"ct2 weights")
+
+    readme = build_readme(
+        "org/my-model", str(pt), has_ct2=True, quantization="int8",
+        wandb_run_url="https://wandb.ai/org/proj/runs/abc",
+    )
+    snapshot = write_to_hf_cache(
+        "org/my-model", pt_path=str(pt), ct2_folder=str(ct2),
+        readme_text=readme, cache_dir=str(tmp_path / "hub"),
+    )
+
+    repo = tmp_path / "hub" / "models--org--my-model"
+    assert (repo / "refs" / "main").is_file()
+    commit = (repo / "refs" / "main").read_text()
+    assert len(commit) == 40 and snapshot.endswith(commit)
+    snap = repo / "snapshots" / commit
+    assert (snap / "best_model.pt").read_bytes() == b"fake checkpoint"
+    assert (snap / "model.bin").read_bytes() == b"ct2 weights"
+    text = (snap / "README.md").read_text()
+    assert "faster_whisper" in text and 'compute_type="int8"' in text
+    assert "W&B Run: https://wandb.ai/org/proj/runs/abc" in text
+    assert "best_model.pt" in text
+
+
+def test_build_readme_custom_overrides(tmp_path):
+    from whisper_finetune_tpu.scripts.upload_model_to_hub import build_readme
+
+    f = tmp_path / "readme.md"
+    f.write_text("# custom")
+    assert build_readme("o/r", "x.pt", readme_arg=str(f)) == "# custom"
+    assert build_readme("o/r", "x.pt", readme_arg="literal text") == "literal text"

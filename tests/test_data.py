@@ -317,3 +317,16 @@ def test_collate_bucketing_and_mixed_stack():
     assert stacked["dec_input"].shape == (2, 2, 448)
     assert stacked["dec_output"][0, 0, -1] == -100  # re-pad fill
     assert stacked["dec_input"][0, 0, -1] == 0
+
+
+def test_bg_noise_uses_packaged_bank():
+    import numpy as np
+
+    from whisper_finetune_tpu.data.augment import AddBackgroundNoise
+
+    t = AddBackgroundNoise(p=1.0)
+    # six committed office-ambience wavs (tools/make_bg_noise_bank.py)
+    assert len(t._bank) == 6
+    assert all(len(b) == 160000 for b in t._bank)  # 10 s at 16 kHz
+    y = t.apply(np.zeros(16000, np.float32), 16000, np.random.default_rng(0))
+    assert float(np.abs(y).max()) > 0  # noise actually mixed in

@@ -144,3 +144,19 @@ def test_attn_impl_config_key():
     assert fcfg.attn_impl == "xla"
     assert fcfg.attn_impl_encoder is None
     assert fcfg.enc_attn == "xla" and fcfg.dec_attn == "xla"
+
+
+def test_param_norms_by_module_skips_frozen():
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_finetune_tpu.scripts.finetune import _param_norms_by_module
+
+    tree = {
+        "encoder": {"conv1": {"w": jnp.ones((4,))}, "blocks": {"q_w": None}},
+        "decoder": {"tok_emb": jnp.full((4,), 2.0)},
+    }
+    out = _param_norms_by_module(tree)
+    assert set(out) == {"params/encoder.conv1", "params/decoder.tok_emb"}
+    assert abs(out["params/encoder.conv1"] - 2.0) < 1e-6
+    assert abs(out["params/decoder.tok_emb"] - 4.0) < 1e-6

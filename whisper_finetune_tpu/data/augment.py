@@ -204,6 +204,17 @@ class AddBackgroundNoise(Transform):
         import glob
         import os
 
+        if sounds_path is None:
+            # packaged office-ambience bank (the reference ships
+            # model/bg_noise/*.mp3; ours is assets/bg_noise/*.wav, generated
+            # deterministically by tools/make_bg_noise_bank.py)
+            packaged = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "assets", "bg_noise",
+            )
+            if os.path.isdir(packaged):
+                sounds_path = packaged
+
         bank: List[np.ndarray] = []
         if sounds_path and os.path.isdir(sounds_path):
             from scipy.io import wavfile

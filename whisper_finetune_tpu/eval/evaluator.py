@@ -125,15 +125,42 @@ def evaluate_single_dataset(
         device_batch = {
             k: batch[k] for k in keys + ("dec_input", "dec_output")
         }
+        multiprocess = jax.process_count() > 1
         if mesh is not None and mesh.devices.size > 1:
             from jax.sharding import NamedSharding, PartitionSpec
 
             device_batch = _pad_rows(device_batch, mesh.devices.size)
             sharding = NamedSharding(mesh, PartitionSpec("data"))
-            device_batch = {
-                k: jax.device_put(v, sharding) for k, v in device_batch.items()
-            }
+            if multiprocess:
+                # Every process holds the SAME host batch (eval loaders are
+                # deterministic and built on all processes); each process
+                # materializes exactly the shards its local devices own, so
+                # the SPMD eval step runs on the full global mesh.
+                host = {k: np.asarray(v) for k, v in device_batch.items()}
+                device_batch = {
+                    k: jax.make_array_from_callback(
+                        v.shape, sharding, lambda idx, v=v: v[idx]
+                    )
+                    for k, v in host.items()
+                }
+            else:
+                device_batch = {
+                    k: jax.device_put(v, sharding)
+                    for k, v in device_batch.items()
+                }
         pred, nll, pred_lp, entropy, conf = eval_step(params, device_batch)
+        if multiprocess and mesh is not None and mesh.devices.size > 1:
+            # Bring the (B, T) stats back host-complete on every process so
+            # the text/WER pass below stays lockstep across hosts.
+            from jax.experimental import multihost_utils
+
+            pred, nll, pred_lp, entropy, conf = (
+                multihost_utils.process_allgather(x, tiled=True)
+                for x in (pred, nll, pred_lp, entropy, conf)
+            )
+            device_batch["dec_output"] = np.asarray(
+                host["dec_output"]
+            )  # already host-complete
         pred = np.asarray(pred)
         nll = np.asarray(nll)
         pred_lp = np.asarray(pred_lp)

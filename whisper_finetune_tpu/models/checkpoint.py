@@ -246,9 +246,13 @@ def load_model(name: str) -> Tuple[Params, ModelDimensions]:
 
     The reference's ``whisper.load_model(name)`` downloads official weights;
     in this offline-first framework, a file path loads that checkpoint and a
-    preset name (``tiny`` .. ``large-v3-turbo``) either loads
-    ``$WHISPER_CHECKPOINT_DIR/<name>.pt`` if present or falls back to random
-    initialization with the preset's architecture.
+    preset name (``tiny`` .. ``large-v3-turbo``) loads
+    ``$WHISPER_CHECKPOINT_DIR/<name>.pt``.
+
+    Missing pretrained weights are a HARD ERROR: silently fine-tuning a
+    random init would burn a full run and produce garbage WER. Tests and
+    deliberate from-scratch experiments opt in to random initialization with
+    ``WFT_ALLOW_RANDOM_INIT=1``.
     """
     if os.path.isfile(name):
         return load_checkpoint(name)
@@ -263,11 +267,21 @@ def load_model(name: str) -> Tuple[Params, ModelDimensions]:
         if os.path.isfile(candidate):
             return load_checkpoint(candidate)
 
+    if not os.environ.get("WFT_ALLOW_RANDOM_INIT"):
+        raise FileNotFoundError(
+            f"No pretrained checkpoint for preset '{name}'. Point "
+            f"WHISPER_CHECKPOINT_DIR at a directory containing {name}.pt "
+            "(an OpenAI-format whisper checkpoint), pass an explicit "
+            "checkpoint path as model.init_name, or set "
+            "WFT_ALLOW_RANDOM_INIT=1 to deliberately train from random "
+            "initialization."
+        )
+
     from whisper_finetune_tpu.models.whisper import init_params
 
     print(
         f"No local checkpoint for '{name}'; initializing {name} architecture "
-        "with random weights (set WHISPER_CHECKPOINT_DIR for pretrained)."
+        "with random weights (WFT_ALLOW_RANDOM_INIT=1)."
     )
     params = init_params(jax.random.PRNGKey(0), dims)
     return params, dims

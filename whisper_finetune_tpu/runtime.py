@@ -49,12 +49,15 @@ def setup_distributed(coordinator_address: Optional[str] = None,
 
     import jax
 
-    want_multiprocess = (
-        coordinator_address is not None
-        or os.environ.get("JAX_COORDINATOR_ADDRESS")
-        or os.environ.get("COORDINATOR_ADDRESS")
+    env_coordinator = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "COORDINATOR_ADDRESS"
     )
-    if want_multiprocess and not _initialized:
+    coordinator_address = coordinator_address or env_coordinator
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if coordinator_address is not None and not _initialized:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,

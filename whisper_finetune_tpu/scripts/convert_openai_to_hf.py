@@ -122,6 +122,92 @@ def infer_multilinguality(vocab_size: int) -> Tuple[bool, int]:
     return is_multilingual, max(num_languages, 0)
 
 
+def build_generation_config(
+    is_multilingual: bool,
+    num_languages: int = 100,
+    openai_version: str = None,
+):
+    """Generation config for the converted model (reference
+    convert_openai_to_hf.py:52-80).
+
+    The reference fetches the matching ``openai/whisper-*`` generation config
+    from the Hub; we try the same repo-selection tree first (works with a
+    warm HF cache or network), and fall back to synthesizing the config
+    OFFLINE from the in-repo tokenizer: language/task token ids, suppress
+    lists, and decoder start sequence are all derivable from the tokenizer
+    assets, which is everything faster-whisper/HF ``generate`` needs.
+    """
+    import warnings
+
+    from transformers import GenerationConfig
+
+    if openai_version is not None:
+        repo = f"openai/whisper-{openai_version}"
+    elif not is_multilingual:
+        repo = "openai/whisper-medium.en"
+    elif num_languages < 100:
+        repo = "openai/whisper-large-v2"
+    else:
+        repo = "openai/whisper-large-v3"
+
+    try:
+        # cache-only: offline-first (no 5x-retry network stalls); a warm HF
+        # cache yields the official config, otherwise we synthesize below
+        gen_cfg = GenerationConfig.from_pretrained(repo, local_files_only=True)
+        if openai_version is None:
+            gen_cfg.alignment_heads = None
+            warnings.warn(
+                "Alignment heads are only available for original OpenAI "
+                "checkpoints; word-level timestamps need them set manually."
+            )
+        return gen_cfg
+    except Exception:
+        pass  # offline: synthesize below
+
+    from whisper_finetune_tpu.tokenizer import LANGUAGES, get_tokenizer
+
+    if not is_multilingual:
+        # English-only models are outside this framework's training surface
+        # (the reference always builds the multilingual tokenizer,
+        # finetune.py:591); without the Hub config, ship a minimal one.
+        warnings.warn(
+            "Offline generation-config synthesis for English-only Whisper is "
+            "minimal (no suppress lists); warm the HF cache for the official "
+            "openai/whisper-medium.en config."
+        )
+        return GenerationConfig(max_length=448, is_multilingual=False)
+
+    tok = get_tokenizer(multilingual=is_multilingual, task="transcribe")
+    sp = tok.special_tokens
+    langs = list(LANGUAGES)[: num_languages or 99]
+    gen_cfg = GenerationConfig(
+        max_length=448,
+        begin_suppress_tokens=[220, sp["<|endoftext|>"]],
+        bos_token_id=sp["<|endoftext|>"],
+        eos_token_id=sp["<|endoftext|>"],
+        pad_token_id=sp["<|endoftext|>"],
+        decoder_start_token_id=sp["<|startoftranscript|>"],
+        suppress_tokens=sorted(tok.non_speech_tokens),
+        no_timestamps_token_id=sp["<|notimestamps|>"],
+        prev_sot_token_id=sp["<|startofprev|>"],
+        is_multilingual=is_multilingual,
+        lang_to_id={
+            f"<|{code}|>": sp[f"<|{code}|>"] for code in langs if f"<|{code}|>" in sp
+        }
+        if is_multilingual
+        else None,
+        task_to_id={
+            "transcribe": sp["<|transcribe|>"],
+            "translate": sp["<|translate|>"],
+        }
+        if is_multilingual
+        else None,
+        return_timestamps=False,
+        alignment_heads=None,
+    )
+    return gen_cfg
+
+
 def convert_openai_whisper_to_tfms(checkpoint_path: str, pytorch_dump_folder_path: str):
     """Load an OpenAI ``.pt``, build the HF model, save with save_pretrained."""
     import torch
@@ -151,6 +237,13 @@ def convert_openai_whisper_to_tfms(checkpoint_path: str, pytorch_dump_folder_pat
 
     is_multilingual, num_languages = infer_multilinguality(config.vocab_size)
     model.generation_config.is_multilingual = is_multilingual
+    if config.vocab_size > 50257:  # real whisper vocabs only, not test minis
+        try:
+            model.generation_config = build_generation_config(
+                is_multilingual, num_languages or 100
+            )
+        except Exception as exc:  # noqa: BLE001 - config stays usable without
+            print(f"generation config synthesis skipped: {exc}")
 
     if pytorch_dump_folder_path:
         model.save_pretrained(pytorch_dump_folder_path)

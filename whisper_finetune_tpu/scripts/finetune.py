@@ -260,6 +260,27 @@ def _build_lr_log_dict(group_metadata, schedule_factor: float, train_loss: float
     return log_data
 
 
+def _param_norms_by_module(trainable) -> Dict[str, float]:
+    """``params/<side>.<module>`` L2 norms over the trainable tree — the
+    pytree equivalent of ``wandb.watch(model, log="all")`` parameter
+    histograms (reference finetune.py:151), logged at eval steps."""
+    import collections
+
+    groups: Dict[str, list] = collections.defaultdict(list)
+    for path, leaf in jax.tree_util.tree_flatten_with_path(trainable)[0]:
+        if leaf is None:
+            continue
+        keys = [
+            p.key if hasattr(p, "key") else str(p)
+            for p in path[:2]
+        ]
+        groups[".".join(keys)].append(jnp.sum(jnp.square(leaf.astype(jnp.float32))))
+    return {
+        f"params/{name}": float(jnp.sqrt(sum(sq)))
+        for name, sq in groups.items()
+    }
+
+
 # ---------------------------------------------------------------------------
 # Eval + checkpoint (reference _evaluate_and_maybe_checkpoint, finetune.py:97-123)
 # ---------------------------------------------------------------------------
@@ -281,16 +302,20 @@ def _evaluate_and_maybe_checkpoint(
     )
     eval_wer = macro_metrics["macro_wer"]
     if step == 0:
-        print(f"Initial Macro WER: {eval_wer:.4f}")
+        rt.print_once(f"Initial Macro WER: {eval_wer:.4f}")
     else:
-        print(f"Step {step}: Macro WER={eval_wer:.4f}")
+        rt.print_once(f"Step {step}: Macro WER={eval_wer:.4f}")
     log_metrics_to_wandb(dataset_metrics, macro_metrics, step=step, prefix="val")
 
+    # Every process computes identical metrics (the gathered stats are
+    # host-complete everywhere), so min_wer stays consistent; only rank 0
+    # touches the filesystem.
     if step > 0 and eval_wer < min_wer:
         min_wer = eval_wer
-        save_checkpoint(f"{save_dir}/best_model.pt", params, dims)
-        print(f"  Saved new best model (WER: {min_wer:.4f})")
-    if step > 0 and save_checkpoints:
+        if rt.IS_MAIN:
+            save_checkpoint(f"{save_dir}/best_model.pt", params, dims)
+            print(f"  Saved new best model (WER: {min_wer:.4f})")
+    if step > 0 and save_checkpoints and rt.IS_MAIN:
         save_checkpoint(f"{save_dir}/step{step}.pt", params, dims)
     return min(min_wer, eval_wer)
 
@@ -323,8 +348,11 @@ def main_loop(
         rt.print_once("LoRA debug logging enabled - tracking parameter and update norms")
 
     min_wer = float("inf")
-    if rt.IS_MAIN and dev_loaders:
-        print("\nRunning initial evaluation...")
+    if dev_loaders:
+        # ALL processes run the SPMD mesh eval (saves/logs inside are
+        # rank-0-gated); the reference's rank-0-only eval is a single-GPU
+        # design (finetune.py:161-173).
+        rt.print_once("\nRunning initial evaluation...")
         min_wer = _evaluate_and_maybe_checkpoint(
             combine_params(state.trainable, state.frozen),
             dims, eval_step, dev_loaders, tokenizer, save_dir,
@@ -406,11 +434,14 @@ def main_loop(
         last_step_time = now
         is_eval_step = (step % val_steps) == 0 or step == train_steps
         if is_eval_step:
-            # parameter-magnitude telemetry (the wandb.watch(model) analogue,
-            # reference finetune.py:151)
+            # parameter-magnitude telemetry (the wandb.watch(model, log="all")
+            # analogue, reference finetune.py:151): one global norm plus a
+            # params/<module> norm per top-level module, all computed on
+            # device and fetched as scalars
             log_data["params/trainable_global_norm"] = float(
                 optax.global_norm(state.trainable)
             )
+            log_data.update(_param_norms_by_module(state.trainable))
         if lora_tracker is not None and is_eval_step:
             params_now = combine_params(state.trainable, state.frozen)
             log_data.update(get_lora_param_stats(params_now))
@@ -433,7 +464,7 @@ def main_loop(
                 from whisper_finetune_tpu.train.state_io import save_train_state
 
                 save_train_state(os.path.join(save_dir, "train_state"), state)
-            if rt.IS_MAIN and dev_loaders:
+            if dev_loaders:
                 min_wer = _evaluate_and_maybe_checkpoint(
                     combine_params(state.trainable, state.frozen),
                     dims, eval_step, dev_loaders, tokenizer, save_dir,
@@ -590,27 +621,33 @@ def main(config: Dict) -> None:
         )
         dataset_sizes = None
 
+    # Validation datasets are built on EVERY process: mesh-parallel eval is
+    # SPMD, so all processes must iterate identical eval batches (the
+    # reference builds them rank-0 only because its eval runs on one GPU,
+    # finetune.py:543; a rank-0-only build here would deadlock the
+    # multi-host eval step).
     val_datasets_dict = {}
-    if rt.IS_MAIN:
-        val_config = ds_config.get("val_datasets", []) or []
-        if isinstance(val_config, str):
-            val_config = [val_config]
-        val_names = ds_config.get("val_dataset_names")
-        if val_names is None:
-            val_names = [v.split("/")[-1] if "/" in v else v for v in val_config]
-        for i, (val_ds, val_name) in enumerate(zip(val_config, val_names)):
-            select_n = (
-                ds_config["select_n_per_v_ds"][i]
-                if i < len(ds_config["select_n_per_v_ds"])
-                else None
-            )
-            val_datasets_dict[val_name] = process_dataset(
-                [val_ds],
-                [select_n],
-                ds_config["valid_split_name"],
-                [None],
-                rng=data_rng,
-            )
+    val_config = ds_config.get("val_datasets", []) or []
+    if isinstance(val_config, str):
+        val_config = [val_config]
+    val_names = ds_config.get("val_dataset_names")
+    if val_names is None:
+        val_names = [v.split("/")[-1] if "/" in v else v for v in val_config]
+    for i, (val_ds, val_name) in enumerate(zip(val_config, val_names)):
+        select_n = (
+            ds_config["select_n_per_v_ds"][i]
+            if i < len(ds_config["select_n_per_v_ds"])
+            else None
+        )
+        # rank-INDEPENDENT rng: every process must subsample identical val
+        # rows or the SPMD eval batches would diverge across hosts
+        val_datasets_dict[val_name] = process_dataset(
+            [val_ds],
+            [select_n],
+            ds_config["valid_split_name"],
+            [None],
+            rng=np.random.default_rng(int(config["seed"]) + 10_000 + i),
+        )
 
     # -- step math -----------------------------------------------------------
     train_drop_last = bool(ds_config.get("drop_last", True))

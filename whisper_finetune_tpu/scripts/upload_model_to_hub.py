@@ -98,21 +98,124 @@ def convert_to_ct2(hf_dir: str, out_dir: str, quantization: str) -> str:
     return ct2_dir
 
 
-def write_readme(out_dir: str, repo_id: str, source: str) -> None:
-    content = (
+def build_readme(
+    repo_id: str,
+    source: str,
+    has_pt: bool = True,
+    has_ct2: bool = False,
+    quantization: str = "float16",
+    wandb_run_url: str = None,
+    readme_arg: str = None,
+) -> str:
+    """README text: a user-supplied file/literal wins, otherwise the
+    auto-generated contents + faster-whisper usage + W&B provenance the
+    reference writes (upload_model_to_hub.py:486-523)."""
+    if readme_arg:
+        if os.path.isfile(readme_arg):
+            with open(readme_arg) as f:
+                return f.read()
+        return readme_arg
+
+    text = (
         "---\n"
         "library_name: whisper_finetune_tpu\n"
         "tags: [whisper, speech-recognition, ctranslate2]\n"
         "---\n\n"
-        f"# {repo_id}\n\n"
-        f"Fine-tuned Whisper model exported on {date.today().isoformat()} from "
-        f"`{os.path.basename(source)}` by the whisper_finetune_tpu framework.\n\n"
-        "Contents: OpenAI-format `.pt` (loadable with `whisper.load_model`), "
-        "HF Transformers weights under `hf/`, and (when converted) a "
-        "CTranslate2 model for faster-whisper.\n"
+        f"# {repo_id.split('/')[-1]}\n\n"
+        "This repository contains a fine-tuned Whisper model "
+        f"(exported {date.today().isoformat()} from "
+        f"`{os.path.basename(source)}` by whisper_finetune_tpu).\n\n"
+        "## Contents\n\n"
     )
+    if has_pt:
+        text += (
+            f"- `{os.path.basename(source)}`: Original OpenAI Whisper format "
+            "checkpoint\n"
+        )
+    if has_ct2:
+        text += "- CTranslate2/faster-whisper model files (at repo root)\n"
+        text += f"""
+## Usage with faster-whisper
+
+```python
+from faster_whisper import WhisperModel
+
+# Load directly from HuggingFace Hub
+model = WhisperModel("{repo_id}", device="cuda", compute_type="{quantization}")
+segments, info = model.transcribe("audio.mp3", language="de")
+
+for segment in segments:
+    print(f"[{{segment.start:.2f}}s -> {{segment.end:.2f}}s] {{segment.text}}")
+```
+"""
+    if wandb_run_url:
+        text += f"\n## Training\n\nW&B Run: {wandb_run_url}\n"
+    return text
+
+
+def write_readme(out_dir: str, repo_id: str, source: str, **kwargs) -> None:
     with open(os.path.join(out_dir, "README.md"), "w") as f:
-        f.write(content)
+        f.write(build_readme(repo_id, source, **kwargs))
+
+
+# ---------------------------------------------------------------------------
+# HF-cache-shaped local layout (reference upload_model_to_hub.py:282-342)
+# ---------------------------------------------------------------------------
+
+def _repo_folder_name(repo_id: str, repo_type: str = "model") -> str:
+    """'org/repo' -> 'models--org--repo' (HF hub cache convention)."""
+    return f"{repo_type}s--" + "--".join(repo_id.split("/"))
+
+
+def write_to_hf_cache(
+    repo_id: str,
+    pt_path: str = None,
+    ct2_folder: str = None,
+    readme_text: str = None,
+    revision: str = "main",
+    cache_dir: str = None,
+) -> str:
+    """Write model files into an HF-hub-cache-shaped local repo:
+
+        {cache_dir}/models--{org}--{repo}/
+            refs/{revision}        # the commit hash
+            snapshots/{hash}/      # model files
+
+    so ``faster_whisper.WhisperModel(repo_id)`` / ``from_pretrained`` find
+    the model offline exactly as the reference's ``--local-only`` layout
+    does. Returns the snapshot directory."""
+    import hashlib
+
+    if cache_dir is None:
+        cache_dir = os.environ.get("HF_HUB_CACHE") or os.path.join(
+            os.path.expanduser("~"), ".cache", "huggingface", "hub"
+        )
+    repo_folder = os.path.join(cache_dir, _repo_folder_name(repo_id))
+
+    hash_input = repo_id
+    if pt_path and os.path.exists(pt_path):
+        hash_input += str(os.stat(pt_path).st_mtime)
+    commit_hash = hashlib.sha256(hash_input.encode()).hexdigest()[:40]
+
+    refs_dir = os.path.join(repo_folder, "refs")
+    snapshot_dir = os.path.join(repo_folder, "snapshots", commit_hash)
+    os.makedirs(refs_dir, exist_ok=True)
+    os.makedirs(snapshot_dir, exist_ok=True)
+
+    with open(os.path.join(refs_dir, revision), "w") as f:
+        f.write(commit_hash)
+
+    if ct2_folder and os.path.isdir(ct2_folder):
+        shutil.copytree(ct2_folder, snapshot_dir, dirs_exist_ok=True)
+    if pt_path and os.path.exists(pt_path):
+        shutil.copy2(pt_path, os.path.join(snapshot_dir, os.path.basename(pt_path)))
+    if readme_text is not None:
+        with open(os.path.join(snapshot_dir, "README.md"), "w") as f:
+            f.write(readme_text)
+
+    print(f"  Cache location: {repo_folder}")
+    print(f"  Snapshot: {commit_hash[:8]}...")
+    return snapshot_dir
 
 
 def upload_to_hub(repo_id: str, paths, token=None) -> None:
@@ -141,17 +244,37 @@ def main(args) -> None:
     shutil.copy2(ckpt, os.path.join(out_dir, os.path.basename(ckpt)))
     artifacts = [os.path.join(out_dir, os.path.basename(ckpt))]
 
+    ct2_dir = None
     if args.convert_hf or args.convert_ct2:
         hf_dir = convert_to_hf(ckpt, out_dir)
         artifacts.append(hf_dir)
         if args.convert_ct2:
-            artifacts.append(convert_to_ct2(hf_dir, out_dir, args.quantization))
+            ct2_dir = convert_to_ct2(hf_dir, out_dir, args.quantization)
+            artifacts.append(ct2_dir)
 
-    write_readme(out_dir, args.repo_id, ckpt)
+    wandb_run_url = (
+        f"https://wandb.ai/{args.wandb_run}" if args.wandb_run else None
+    )
+    readme_text = build_readme(
+        args.repo_id, ckpt, has_pt=True, has_ct2=ct2_dir is not None,
+        quantization=args.quantization, wandb_run_url=wandb_run_url,
+        readme_arg=args.readme,
+    )
+    with open(os.path.join(out_dir, "README.md"), "w") as f:
+        f.write(readme_text)
     artifacts.append(os.path.join(out_dir, "README.md"))
 
     if args.local_only:
-        print(f"Local repo written to {out_dir} (no upload requested):")
+        # HF-hub-cache-shaped repo so offline from_pretrained/faster-whisper
+        # resolve args.repo_id (reference --local-only, :282-342)
+        snapshot = write_to_hf_cache(
+            args.repo_id,
+            pt_path=os.path.join(out_dir, os.path.basename(ckpt)),
+            ct2_folder=ct2_dir,
+            readme_text=readme_text,
+            cache_dir=args.cache_dir,
+        )
+        print(f"Local repo written to {out_dir}; HF cache snapshot: {snapshot}")
         for a in artifacts:
             print(f"  - {a}")
         return
@@ -171,5 +294,10 @@ if __name__ == "__main__":
     parser.add_argument("--quantization", default="float16",
                         choices=["float16", "int8", "int8_float16"])
     parser.add_argument("--local-only", action="store_true")
+    parser.add_argument("--readme", default=None,
+                        help="README path or literal text (default: auto)")
+    parser.add_argument("--cache-dir", default=None,
+                        help="HF-cache root for --local-only (default: "
+                             "HF_HUB_CACHE or ~/.cache/huggingface/hub)")
     parser.add_argument("--token", default=None)
     main(parser.parse_args())

@@ -128,6 +128,28 @@ class WhisperTokenizer:
         return token
 
     @property
+    def non_speech_tokens(self) -> Tuple[int, ...]:
+        """Token ids to suppress during generation: single-token symbols and
+        music/annotation glyphs that never occur in real speech transcripts
+        (openai-whisper ``Tokenizer.non_speech_tokens`` semantics — the list
+        the reference's deployment path ships via the HF generation config).
+        """
+        if getattr(self, "_non_speech_cache", None) is not None:
+            return self._non_speech_cache
+        symbols = list('"#()*+/:;<=>@[\\]^_`{|}~「」『』')
+        symbols += (
+            "<< >> <<< >>> -- --- -( -[ (' (\" (( )) ((( ))) [[ ]] {{ }} ♪♪ ♪♪♪"
+        ).split()
+        miscellaneous = set("♩♪♫♬♭♮♯")
+        result = {self.encode(" -")[0], self.encode(" '")[0]}
+        for symbol in symbols + list(miscellaneous):
+            for tokens in [self.encode(symbol), self.encode(" " + symbol)]:
+                if len(tokens) == 1 or symbol in miscellaneous:
+                    result.add(tokens[0])
+        object.__setattr__(self, "_non_speech_cache", tuple(sorted(result)))
+        return self._non_speech_cache
+
+    @property
     def sot_sequence(self) -> Tuple[int, ...]:
         seq = [self.sot]
         if self.language is not None:
