@@ -1,5 +1,6 @@
-"""Greedy decoding: the cached incremental decoder must reproduce the
-brute-force argmax loop over full teacher-forced forwards."""
+"""Decoding: the cached incremental decoder must reproduce the brute-force
+argmax loop over full teacher-forced forwards; beam search must contain the
+greedy path and never score below it."""
 
 import numpy as np
 import pytest
@@ -45,11 +46,10 @@ def test_greedy_decode_matches_bruteforce():
     init = jnp.asarray(rng.integers(0, 64, (2, 3)).astype(np.int32))
 
     max_len = 12
-    ours = np.asarray(
-        greedy_decode(params, mel, init, EOT, DIMS, FCFG, max_len=max_len)
-    )
+    ours, avg_lp = greedy_decode(params, mel, init, EOT, DIMS, FCFG, max_len=max_len)
     ref = _brute_force(params, mel, init, max_len - 3)
-    np.testing.assert_array_equal(ours, ref)
+    np.testing.assert_array_equal(np.asarray(ours), ref)
+    assert np.all(np.asarray(avg_lp) <= 0.0)
 
 
 def test_greedy_decode_eot_freezing():
@@ -59,7 +59,7 @@ def test_greedy_decode_eot_freezing():
         rng.standard_normal((1, DIMS.n_mels, DIMS.n_audio_ctx * 2)).astype(np.float32)
     )
     init = jnp.asarray([[1, 2]], jnp.int32)
-    out = np.asarray(greedy_decode(params, mel, init, EOT, DIMS, FCFG, max_len=16))
+    out = np.asarray(greedy_decode(params, mel, init, EOT, DIMS, FCFG, max_len=16)[0])
     row = out[0].tolist()
     if EOT in row:
         first = row.index(EOT)
@@ -86,3 +86,61 @@ def test_transcribe_batch_glue():
     )
     assert len(texts) == 2
     assert all(isinstance(t, str) for t in texts)
+
+
+def test_beam_size_one_equals_greedy():
+    from whisper_finetune_tpu.models.decoding import beam_decode
+
+    params = init_params(jax.random.PRNGKey(2), DIMS)
+    rng = np.random.default_rng(2)
+    mel = jnp.asarray(
+        rng.standard_normal((2, DIMS.n_mels, DIMS.n_audio_ctx * 2)).astype(np.float32)
+    )
+    init = jnp.asarray(rng.integers(0, 64, (2, 3)).astype(np.int32))
+    g_tok, _ = greedy_decode(params, mel, init, EOT, DIMS, FCFG, max_len=12)
+    b_tok, _ = beam_decode(
+        params, mel, init, EOT, DIMS, FCFG, max_len=12, beam_size=1
+    )
+    np.testing.assert_array_equal(np.asarray(b_tok), np.asarray(g_tok))
+
+
+def test_beam_five_scores_at_least_greedy():
+    from whisper_finetune_tpu.models.decoding import beam_decode
+
+    params = init_params(jax.random.PRNGKey(3), DIMS)
+    rng = np.random.default_rng(3)
+    mel = jnp.asarray(
+        rng.standard_normal((2, DIMS.n_mels, DIMS.n_audio_ctx * 2)).astype(np.float32)
+    )
+    init = jnp.asarray(rng.integers(0, 64, (2, 3)).astype(np.int32))
+    _, g_lp = greedy_decode(params, mel, init, EOT, DIMS, FCFG, max_len=12)
+    b_tok, b_lp = beam_decode(
+        params, mel, init, EOT, DIMS, FCFG, max_len=12, beam_size=5
+    )
+    # beam keeps the greedy hypothesis in the beam, so the winner's average
+    # log-prob can't be materially worse
+    assert np.all(np.asarray(b_lp) >= np.asarray(g_lp) - 1e-4)
+    assert b_tok.shape == (2, 9)
+
+
+def test_temperature_sampling_reproducible_and_varied():
+    params = init_params(jax.random.PRNGKey(4), DIMS)
+    rng = np.random.default_rng(4)
+    mel = jnp.asarray(
+        rng.standard_normal((1, DIMS.n_mels, DIMS.n_audio_ctx * 2)).astype(np.float32)
+    )
+    init = jnp.asarray([[1, 2]], jnp.int32)
+    a1, _ = greedy_decode(
+        params, mel, init, EOT, DIMS, FCFG, max_len=16, temperature=1.0,
+        rng=jax.random.PRNGKey(7),
+    )
+    a2, _ = greedy_decode(
+        params, mel, init, EOT, DIMS, FCFG, max_len=16, temperature=1.0,
+        rng=jax.random.PRNGKey(7),
+    )
+    b, _ = greedy_decode(
+        params, mel, init, EOT, DIMS, FCFG, max_len=16, temperature=1.0,
+        rng=jax.random.PRNGKey(8),
+    )
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    assert not np.array_equal(np.asarray(a1), np.asarray(b))

@@ -40,13 +40,19 @@ def _run_training(tmp_path, tag: str, num_processes: int, local_devices: int):
     metrics.jsonl records of the run."""
     save_dir = os.path.join(str(tmp_path), tag)
     os.makedirs(save_dir, exist_ok=True)
-    # identical global config: world of 8 devices either way; trimmed to
-    # 2 train steps + 1 final eval so the CPU run stays in minutes
+    # identical global config: a world of 4 devices either way (1x4 vs 2x2 —
+    # single-core CI hosts starve XLA's in-process collectives with more
+    # device threads); trimmed to a few steps + 1 final eval, no loader
+    # worker processes
     override = {
         "save_dir": save_dir,
         "wandb": {"enabled": False},
         "training": {"epochs": 1, "eval_steps": 1.0},
-        "dataset": {"select_n_per_v_ds": [4], "batch_size_eval": 4},
+        "dataset": {
+            "select_n_per_v_ds": [4],
+            "batch_size_eval": 4,
+            "train_num_workers": 0,
+        },
     }
     driver = (
         "import json, sys, yaml\n"
@@ -125,8 +131,8 @@ def test_two_process_training_matches_single_process(tmp_path):
             [sys.executable, "tools/make_debug_dataset.py"], cwd=REPO, check=True
         )
 
-    run1, rec1 = _run_training(tmp_path, "single", 1, 8)
-    run2, rec2 = _run_training(tmp_path, "double", 2, 4)
+    run1, rec1 = _run_training(tmp_path, "single", 1, 4)
+    run2, rec2 = _run_training(tmp_path, "double", 2, 2)
 
     losses1 = {r["_step"]: r["Train loss"] for r in rec1 if "Train loss" in r}
     losses2 = {r["_step"]: r["Train loss"] for r in rec2 if "Train loss" in r}

@@ -1,8 +1,10 @@
-"""Transcription CLI: greedy-decode audio files with a trained checkpoint.
+"""Transcription CLI: decode audio files with a trained checkpoint.
 
 On-TPU inference for quick checks of fine-tuned models (the reference
 delegates all inference to the CT2/faster-whisper export; this runs the
-framework's own KV-cached greedy decoder, models/decoding.py). Audio is read
+framework's own KV-cached decoder, models/decoding.py — greedy by default,
+beam search via --beam-size, with whisper's temperature fallback on
+repetition-loop / low-confidence outputs). Audio is read
 with scipy (wav) or numpy (raw f32 .npy), resampled to 16 kHz if needed, and
 truncated/padded to the 30 s window.
 
@@ -54,6 +56,9 @@ def main(args) -> None:
         params, dims, batch, tokenizer,
         fcfg=ForwardConfig(compute_dtype=args.dtype),
         language=args.language, max_len=args.max_len,
+        beam_size=args.beam_size,
+        temperatures=tuple(args.temperatures),
+        length_penalty=args.length_penalty,
     )
     for path, text in zip(args.audio, texts):
         print(f"{path}\t{text}")
@@ -66,6 +71,12 @@ def cli() -> None:
     parser.add_argument("--language", default="de")
     parser.add_argument("--max-len", type=int, default=224)
     parser.add_argument("--dtype", default="bfloat16")
+    parser.add_argument("--beam-size", type=int, default=None,
+                        help="beam search width at temperature 0 (default greedy)")
+    parser.add_argument("--temperatures", type=float, nargs="+",
+                        default=[0.0, 0.2, 0.4, 0.6, 0.8, 1.0],
+                        help="fallback temperature ladder")
+    parser.add_argument("--length-penalty", type=float, default=None)
     main(parser.parse_args())
 
 
