@@ -217,26 +217,39 @@ def make_train_step(
         # gradient tree in HBM (what gates single-chip full-model training);
         # per-microbatch grads are still computed in fp32.
         acc_dt = jnp.dtype(accum_dtype) if accum_dtype else None
-        zero_grads = jax.tree_util.tree_map(
-            lambda p: jnp.zeros(p.shape, acc_dt or p.dtype), state.trainable
-        )
 
-        def micro(carry, xs):
-            grad_sum, loss_sum = carry
-            mb, mrng = xs
-            loss, grads = grad_fn(state.trainable, state.frozen, mb, mrng)
-            grad_sum = jax.tree_util.tree_map(
-                lambda a, g: a + (g.astype(acc_dt) if acc_dt else g),
-                grad_sum,
-                grads,
+        if accum_local == 1:
+            # no accumulation: skip the zeros-init + add pass over the full
+            # gradient tree (~12GB of HBM traffic for large-v3); the dtype
+            # cast fuses into the gradient producers
+            mb = {k: batch[k][0] for k in data_keys}
+            loss_sum, grads = grad_fn(
+                state.trainable, state.frozen, mb, micro_rngs[0]
             )
-            return (grad_sum, loss_sum + loss), None
+            grad_sum = jax.tree_util.tree_map(
+                lambda g: g.astype(acc_dt) if acc_dt else g, grads
+            )
+        else:
+            zero_grads = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, acc_dt or p.dtype), state.trainable
+            )
 
-        (grad_sum, loss_sum), _ = jax.lax.scan(
-            micro,
-            (zero_grads, jnp.zeros((), jnp.float32)),
-            ({k: batch[k] for k in data_keys}, micro_rngs),
-        )
+            def micro(carry, xs):
+                grad_sum, loss_sum = carry
+                mb, mrng = xs
+                loss, grads = grad_fn(state.trainable, state.frozen, mb, mrng)
+                grad_sum = jax.tree_util.tree_map(
+                    lambda a, g: a + (g.astype(acc_dt) if acc_dt else g),
+                    grad_sum,
+                    grads,
+                )
+                return (grad_sum, loss_sum + loss), None
+
+            (grad_sum, loss_sum), _ = jax.lax.scan(
+                micro,
+                (zero_grads, jnp.zeros((), jnp.float32)),
+                ({k: batch[k] for k in data_keys}, micro_rngs),
+            )
 
         loss = jax.lax.pmean(loss_sum / accum_local, DATA_AXIS)
 
