@@ -288,6 +288,7 @@ def multi_head_attention(
     dtype,
     causal: bool = False,
     impl: str = "xla",
+    probs_name: str = "attn_probs",
 ) -> jnp.ndarray:
     """Whisper-convention MHA (q and k each effectively scaled by
     d_head**-0.25, fp32 softmax — openai-whisper ``qkv_attention``
@@ -310,6 +311,7 @@ def multi_head_attention(
         causal=causal,
         sm_scale=float(d_head) ** -0.5,
         impl=impl,
+        probs_name=probs_name,
     )
     o = o.transpose(0, 2, 1, 3).reshape(B, T, d).astype(dtype)
     return _dense(o, p["o_w"], p["o_b"], dtype)
@@ -383,7 +385,7 @@ def _decoder_block(
     )
     x = x + multi_head_attention(
         layer_norm(x, bp["cross_attn_ln"]), xa, bp["cross_attn"], n_head, dtype,
-        impl=fcfg.cross_attn,
+        impl=fcfg.cross_attn, probs_name="cross_attn_probs",
     )
     x = x + _mlp(layer_norm(x, bp["mlp_ln"]), bp["mlp"], dtype)
     return x

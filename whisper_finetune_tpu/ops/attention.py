@@ -116,6 +116,7 @@ def xla_mha(
     causal: bool = False,
     sm_scale: float = 1.0,
     mask: Optional[jnp.ndarray] = None,
+    probs_name: str = "attn_probs",
 ) -> jnp.ndarray:
     """Reference-faithful XLA path: scores stored in the compute dtype with
     fp32 MXU accumulation, softmax in fp32 — exactly whisper's fp16-autocast
@@ -137,7 +138,10 @@ def xla_mha(
     w = jax.nn.softmax(qk, axis=-1).astype(dtype)
     from jax.ad_checkpoint import checkpoint_name
 
-    w = checkpoint_name(w, "attn_probs")
+    # named per call site so remat policies can save e.g. only the decoder
+    # self-attention probabilities (48MB/layer) without also pinning the
+    # 3.4x-larger cross-attention tensors
+    w = checkpoint_name(w, probs_name)
     return jnp.einsum("bhts,bhsd->bhtd", w, v)
 
 
@@ -289,11 +293,13 @@ def attention(
     causal: bool = False,
     sm_scale: float = 1.0,
     impl: str = "xla",
+    probs_name: str = "attn_probs",
 ) -> jnp.ndarray:
     if impl == "flash":
         return flash_mha(q, k, v, causal=causal, sm_scale=sm_scale)
     if impl == "xla":
-        return xla_mha(q, k, v, causal=causal, sm_scale=sm_scale)
+        return xla_mha(q, k, v, causal=causal, sm_scale=sm_scale,
+                       probs_name=probs_name)
     if impl == "splash":
         return splash_mha(q, k, v, causal=causal, sm_scale=sm_scale)
     if impl == "flash_fwd":
