@@ -330,3 +330,48 @@ def test_muon_sharded_ns_matches_replicated():
         np.asarray(upd_shard["blocks"]["w"]),
         atol=5e-3,  # bf16 NS
     )
+
+
+def test_muon_bf16_momentum_tracks_fp32():
+    # extension: half-width momentum storage (what fits full large-v3 Muon
+    # on one 16GB chip); trajectories must stay close to the fp32 buffer
+    import numpy as np
+
+    from whisper_finetune_tpu.optim.muon import scale_by_muon
+
+    rng = np.random.default_rng(0)
+    params = {"w": jnp.asarray(rng.standard_normal((2, 16, 16)) * 0.1, jnp.float32)}
+    tx32 = scale_by_muon(0.02, momentum_dtype=None)
+    tx16 = scale_by_muon(0.02, momentum_dtype="bfloat16")
+    s32, s16 = tx32.init(params), tx16.init(params)
+    assert s16.momentum["w"].dtype == jnp.bfloat16
+    assert s32.momentum["w"].dtype == jnp.float32
+
+    p32 = p16 = params
+    for i in range(5):
+        g = {"w": jnp.asarray(rng.standard_normal((2, 16, 16)) * 0.01, jnp.float32)}
+        u32, s32 = tx32.update(g, s32, p32)
+        u16, s16 = tx16.update(g, s16, p16)
+        p32 = jax.tree_util.tree_map(lambda p, u: p + u, p32, u32)
+        p16 = jax.tree_util.tree_map(lambda p, u: p + u, p16, u16)
+    np.testing.assert_allclose(
+        np.asarray(p16["w"]), np.asarray(p32["w"]), atol=5e-3
+    )
+
+
+def test_muon_momentum_dtype_config_key():
+    from whisper_finetune_tpu.config import validate_config
+    from whisper_finetune_tpu.optim import get_optimizer
+
+    cfg = validate_config({
+        "model": {"init_name": "tiny"},
+        "optimizer": {"muon": True, "muon_momentum_dtype": "bfloat16"},
+    })
+    params = {"encoder": {"blocks": {"w": jnp.zeros((2, 8, 8))}}}
+    tx, _ = get_optimizer(params, cfg["optimizer"])
+    state = tx.init(params)
+    leaves = [
+        l for l in jax.tree_util.tree_leaves(state)
+        if hasattr(l, "dtype") and l.ndim == 3
+    ]
+    assert leaves and all(l.dtype == jnp.bfloat16 for l in leaves)

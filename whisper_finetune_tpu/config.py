@@ -139,6 +139,9 @@ _OPTIMIZER_DEFAULTS: Dict[str, Any] = {
     "muon_params": {},
     "muon_match_adamw_update_rms": True,
     "muon_match_factor": 0.2,
+    # Extension: store Muon momentum in this dtype ("bfloat16" fits full
+    # large-v3 Muon on a single 16GB chip; None keeps fp32).
+    "muon_momentum_dtype": None,
     "params": {},
 }
 

@@ -209,6 +209,9 @@ def get_optimizer(
                     match_factor=factor,
                     shard_axis=data_shard_axis,
                     shard_axis_size=data_axis_size,
+                    # extension: half-width momentum buffer (what fits full
+                    # large-v3 Muon on a single 16GB chip)
+                    momentum_dtype=optimizer_conf.get("muon_momentum_dtype"),
                 ),
                 "adamw": _adam_like(adamw_conf, schedule, decoupled=True),
             },
