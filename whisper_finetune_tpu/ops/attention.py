@@ -176,8 +176,11 @@ def _splash_kernel(n_heads, Tq_pad, Tk_pad, Tq, Tk, causal, variant):
     valid[Tq:, 0] = True  # keep padded query rows well-formed
     mask = sm.MultiHeadMask([sm.NumpyMask(valid) for _ in range(n_heads)])
 
+    # Measured on v5e (B=6, H=20, D=64, T=1536): the full KV extent in one
+    # inner pass (block_kv=1536) beats 512-blocks by ~14% on the fused
+    # fwd+bwd round-trip — fewer online-softmax rescale passes.
     bq = min(512, Tq_pad)
-    bkv = min(512, Tk_pad)
+    bkv = min(1536, Tk_pad)
     if variant == "fused_bwd":
         block_sizes = sk.BlockSizes(
             block_q=bq, block_kv=bkv,
