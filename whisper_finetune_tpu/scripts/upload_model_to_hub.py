@@ -45,7 +45,7 @@ def fetch_checkpoint(args) -> str:
     raise ValueError("Provide --checkpoint or --wandb-run")
 
 
-def convert_to_hf(checkpoint_path: str, out_dir: str) -> str:
+def convert_to_hf(checkpoint_path: str, out_dir: str, tokenizer_dir=None) -> str:
     from whisper_finetune_tpu.scripts.convert_openai_to_hf import (
         convert_openai_whisper_to_tfms,
     )
@@ -53,18 +53,83 @@ def convert_to_hf(checkpoint_path: str, out_dir: str) -> str:
     hf_dir = os.path.join(out_dir, "hf")
     convert_openai_whisper_to_tfms(checkpoint_path, hf_dir)
     # tokenizer/preprocessor assets for faster-whisper compatibility
-    _copy_deployment_assets(checkpoint_path, hf_dir)
+    _copy_deployment_assets(checkpoint_path, hf_dir, tokenizer_dir)
     return hf_dir
 
 
-def _copy_deployment_assets(checkpoint_path: str, hf_dir: str) -> None:
-    """Ship tokenizer/preprocessor JSONs next to the converted weights (the
-    reference keeps these under whisper_v3_utils/, used at
-    upload_model_to_hub.py:409-413)."""
+# Deployment asset filenames a CT2/faster-whisper consumer needs next to the
+# weights (reference upload_model_to_hub.py:163-188 copies all three from the
+# whisper_v3[_turbo]_utils directory and hard-fails when any is absent).
+DEPLOYMENT_ASSET_FILES = ("tokenizer.json", "config.json", "preprocessor_config.json")
+
+
+def resolve_tokenizer_dir(checkpoint_path: str, tokenizer_dir=None):
+    """Pick the tokenizer-asset directory for a checkpoint.
+
+    Explicit ``tokenizer_dir`` wins (the reference's ``--tokenizer-dir``
+    flag, default ``whisper_v3_turbo_utils``); ``"auto"``/None selects the
+    in-repo asset set by the checkpoint's dims: ``whisper_v3_turbo_utils``
+    for the 4-text-layer turbo family, ``whisper_v3_utils`` for other
+    51866-vocab (large-v3) models, and None for models whose vocabulary the
+    packaged assets don't match (earlier multilingual/English-only models)."""
+    if tokenizer_dir and tokenizer_dir != "auto":
+        return tokenizer_dir
+
+    import torch
+
+    with open(checkpoint_path, "rb") as fp:
+        dims = torch.load(fp, map_location="cpu")["dims"]
+    if int(dims.get("n_vocab", 0)) != 51866:
+        return None
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    name = (
+        "whisper_v3_turbo_utils"
+        if int(dims.get("n_text_layer", 0)) == 4
+        else "whisper_v3_utils"
+    )
+    candidate = os.path.join(repo_root, name)
+    return candidate if os.path.isdir(candidate) else None
+
+
+def _copy_deployment_assets(
+    checkpoint_path: str, hf_dir: str, tokenizer_dir=None
+) -> None:
+    """Ship tokenizer/config/preprocessor JSONs next to the converted weights
+    (reference upload_model_to_hub.py:163-188, :409-413).
+
+    With a resolvable asset directory all three files are copied (an
+    explicitly passed directory missing any of them is an error, matching the
+    reference). Without one (non-large-v3 vocabularies), the converter's own
+    generated ``config.json`` is kept and a preprocessor config is
+    synthesized from the checkpoint dims; the tokenizer is then absent and a
+    warning says so."""
     import json
 
     import torch
 
+    resolved = resolve_tokenizer_dir(checkpoint_path, tokenizer_dir)
+    if resolved is not None:
+        missing = [
+            f
+            for f in DEPLOYMENT_ASSET_FILES
+            if not os.path.isfile(os.path.join(resolved, f))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"tokenizer dir {resolved} is missing {missing}"
+            )
+        for f in DEPLOYMENT_ASSET_FILES:
+            shutil.copyfile(
+                os.path.join(resolved, f), os.path.join(hf_dir, f)
+            )
+        return
+
+    print(
+        "warning: no packaged tokenizer assets match this checkpoint's "
+        "vocabulary; shipping generated config + preprocessor only"
+    )
     with open(checkpoint_path, "rb") as fp:
         dims = torch.load(fp, map_location="cpu")["dims"]
     preprocessor = {
@@ -167,6 +232,34 @@ def _repo_folder_name(repo_id: str, repo_type: str = "model") -> str:
     return f"{repo_type}s--" + "--".join(repo_id.split("/"))
 
 
+def _digest_file(hasher, path: str, chunk: int = 1 << 20) -> None:
+    with open(path, "rb") as f:
+        while True:
+            buf = f.read(chunk)
+            if not buf:
+                break
+            hasher.update(buf)
+
+
+def snapshot_revision(repo_id: str, file_paths, readme_text=None) -> str:
+    """Derive the snapshot's pseudo-commit hash from the CONTENT being
+    deposited: sha256 over the repo id plus every file's relative name and
+    bytes (and the README text). Re-publishing identical content lands in
+    the same snapshot; any content change produces a new one — unlike a
+    mtime-based scheme, copying or touching files doesn't fork revisions.
+    Truncated to 40 hex chars because HF cache resolution expects
+    git-commit-shaped revision names."""
+    import hashlib
+
+    h = hashlib.sha256(repo_id.encode())
+    for rel_name, path in sorted(file_paths):
+        h.update(b"\x00" + rel_name.encode() + b"\x00")
+        _digest_file(h, path)
+    if readme_text is not None:
+        h.update(b"\x00README.md\x00" + readme_text.encode())
+    return h.hexdigest()[:40]
+
+
 def write_to_hf_cache(
     repo_id: str,
     pt_path: str = None,
@@ -174,6 +267,7 @@ def write_to_hf_cache(
     readme_text: str = None,
     revision: str = "main",
     cache_dir: str = None,
+    extra_files=None,
 ) -> str:
     """Write model files into an HF-hub-cache-shaped local repo:
 
@@ -182,20 +276,32 @@ def write_to_hf_cache(
             snapshots/{hash}/      # model files
 
     so ``faster_whisper.WhisperModel(repo_id)`` / ``from_pretrained`` find
-    the model offline exactly as the reference's ``--local-only`` layout
-    does. Returns the snapshot directory."""
-    import hashlib
-
+    the model offline (the refs/snapshots directory layout is the HF hub
+    cache contract; the reference's --local-only mode targets the same
+    layout, upload_model_to_hub.py:282-341). ``extra_files`` is an iterable
+    of standalone paths (e.g. tokenizer.json) deposited at the snapshot
+    root. Returns the snapshot directory."""
     if cache_dir is None:
         cache_dir = os.environ.get("HF_HUB_CACHE") or os.path.join(
             os.path.expanduser("~"), ".cache", "huggingface", "hub"
         )
     repo_folder = os.path.join(cache_dir, _repo_folder_name(repo_id))
 
-    hash_input = repo_id
+    # Collect (relative name, source path) pairs first: the revision is a
+    # function of this manifest's content.
+    manifest = []
+    if ct2_folder and os.path.isdir(ct2_folder):
+        for root, _, files in os.walk(ct2_folder):
+            for name in files:
+                full = os.path.join(root, name)
+                manifest.append((os.path.relpath(full, ct2_folder), full))
     if pt_path and os.path.exists(pt_path):
-        hash_input += str(os.stat(pt_path).st_mtime)
-    commit_hash = hashlib.sha256(hash_input.encode()).hexdigest()[:40]
+        manifest.append((os.path.basename(pt_path), pt_path))
+    for path in extra_files or ():
+        if os.path.exists(path):
+            manifest.append((os.path.basename(path), path))
+
+    commit_hash = snapshot_revision(repo_id, manifest, readme_text)
 
     refs_dir = os.path.join(repo_folder, "refs")
     snapshot_dir = os.path.join(repo_folder, "snapshots", commit_hash)
@@ -205,16 +311,18 @@ def write_to_hf_cache(
     with open(os.path.join(refs_dir, revision), "w") as f:
         f.write(commit_hash)
 
-    if ct2_folder and os.path.isdir(ct2_folder):
-        shutil.copytree(ct2_folder, snapshot_dir, dirs_exist_ok=True)
-    if pt_path and os.path.exists(pt_path):
-        shutil.copy2(pt_path, os.path.join(snapshot_dir, os.path.basename(pt_path)))
+    for rel_name, src in manifest:
+        dest = os.path.join(snapshot_dir, rel_name)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        shutil.copy2(src, dest)
     if readme_text is not None:
         with open(os.path.join(snapshot_dir, "README.md"), "w") as f:
             f.write(readme_text)
 
-    print(f"  Cache location: {repo_folder}")
-    print(f"  Snapshot: {commit_hash[:8]}...")
+    print(
+        f"local HF cache repo ready: {repo_id} -> {repo_folder} "
+        f"(revision {commit_hash}, {len(manifest)} files)"
+    )
     return snapshot_dir
 
 
@@ -245,8 +353,9 @@ def main(args) -> None:
     artifacts = [os.path.join(out_dir, os.path.basename(ckpt))]
 
     ct2_dir = None
+    hf_dir = None
     if args.convert_hf or args.convert_ct2:
-        hf_dir = convert_to_hf(ckpt, out_dir)
+        hf_dir = convert_to_hf(ckpt, out_dir, tokenizer_dir=args.tokenizer_dir)
         artifacts.append(hf_dir)
         if args.convert_ct2:
             ct2_dir = convert_to_ct2(hf_dir, out_dir, args.quantization)
@@ -266,13 +375,27 @@ def main(args) -> None:
 
     if args.local_only:
         # HF-hub-cache-shaped repo so offline from_pretrained/faster-whisper
-        # resolve args.repo_id (reference --local-only, :282-342)
+        # resolve args.repo_id (reference --local-only, :282-342). The
+        # snapshot root carries the tokenizer/config/preprocessor JSONs a
+        # faster-whisper consumer expects next to the weights: from the
+        # converted HF dir if conversion ran, else straight from the
+        # packaged asset set matching the checkpoint.
+        if hf_dir is not None:
+            asset_src = hf_dir
+        else:
+            asset_src = resolve_tokenizer_dir(ckpt, args.tokenizer_dir)
+        assets = [
+            os.path.join(asset_src, f)
+            for f in DEPLOYMENT_ASSET_FILES
+            if asset_src and os.path.isfile(os.path.join(asset_src, f))
+        ]
         snapshot = write_to_hf_cache(
             args.repo_id,
             pt_path=os.path.join(out_dir, os.path.basename(ckpt)),
             ct2_folder=ct2_dir,
             readme_text=readme_text,
             cache_dir=args.cache_dir,
+            extra_files=assets,
         )
         print(f"Local repo written to {out_dir}; HF cache snapshot: {snapshot}")
         for a in artifacts:
@@ -294,6 +417,11 @@ if __name__ == "__main__":
     parser.add_argument("--quantization", default="float16",
                         choices=["float16", "int8", "int8_float16"])
     parser.add_argument("--local-only", action="store_true")
+    parser.add_argument("--tokenizer-dir", default="auto",
+                        help="Directory with tokenizer.json/config.json/"
+                             "preprocessor_config.json (default: pick the "
+                             "packaged whisper_v3[_turbo]_utils set matching "
+                             "the checkpoint dims)")
     parser.add_argument("--readme", default=None,
                         help="README path or literal text (default: auto)")
     parser.add_argument("--cache-dir", default=None,
