@@ -327,3 +327,46 @@ def test_dsa_layer_flags():
     np.testing.assert_array_equal(
         dsa_layer_flags(ForwardConfig(dsa_apply=False), 3), [False, False, False]
     )
+
+
+def test_save_policy_gradients_match_full_remat(tiny_params):
+    """A save:<names> remat policy changes only the memory/recompute split,
+    never numerics: loss and gradients must equal the full-remat ones."""
+    mel, tokens = _random_inputs()
+    targets = np.roll(np.asarray(tokens), -1, axis=-1).astype(np.int32)
+
+    from whisper_finetune_tpu.train.step import cross_entropy_loss
+
+    def loss_for(fcfg):
+        def loss_fn(p):
+            logits = forward.__wrapped__(
+                p, mel, jnp.asarray(tokens), TINY, fcfg, train=True
+            )
+            return cross_entropy_loss(logits, jnp.asarray(targets))
+
+        return jax.jit(jax.value_and_grad(loss_fn))(tiny_params)
+
+    base_l, base_g = loss_for(ForwardConfig(compute_dtype="float32"))
+    for policy in (
+        "save:enc_qkv,dec_qkv,cross_kv",
+        "save:enc_mlp_h,dec_mlp_h,enc_ln1,dec_ln_cross",
+        "attn",
+    ):
+        l, g = loss_for(
+            ForwardConfig(compute_dtype="float32", remat_policy=policy)
+        )
+        assert float(l) == pytest.approx(float(base_l), abs=1e-6), policy
+        for a, b in zip(
+            jax.tree_util.tree_leaves(base_g), jax.tree_util.tree_leaves(g)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5, err_msg=policy
+            )
+
+    with pytest.raises(ValueError):
+        ForwardConfig(remat_policy="save:")  # no names
+        forward.__wrapped__(
+            tiny_params, mel, jnp.asarray(tokens), TINY,
+            ForwardConfig(compute_dtype="float32", remat_policy="save:"),
+            train=True,
+        )

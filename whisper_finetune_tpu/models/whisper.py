@@ -59,7 +59,16 @@ class ForwardConfig:
     # Rematerialization policy: "full" recomputes everything inside a block
     # on the backward pass (minimum memory, ~1/3 extra FLOPs);
     # "dots" keeps matmul outputs resident (XLA's
-    # dots_with_no_batch_dims_saveable) — faster when HBM allows.
+    # dots_with_no_batch_dims_saveable) — faster when HBM allows;
+    # "attn" keeps only the named attention probabilities (both
+    # "attn_probs" self-attention and "cross_attn_probs" sites);
+    # "save:<name>[,<name>...]" keeps exactly the listed checkpoint_name
+    # sites resident — the tunable middle ground between "full" and
+    # "dots". Named sites in the model: attn_probs, cross_attn_probs
+    # (ops/attention.py), enc_qkv/dec_qkv (self-attention projections),
+    # cross_q/cross_kv (cross-attention projections), enc_mlp_h/dec_mlp_h
+    # (fc1 outputs, the gelu inputs), enc_ln1/enc_ln2/dec_ln1/
+    # dec_ln_cross/dec_ln2 (pre-sublayer layer norms).
     remat_policy: str = "full"
     # Whole-layer drop probability, per side: the reference zeroes stochastic
     # depth on a frozen encoder/decoder in train_only_* runs
@@ -89,6 +98,11 @@ class ForwardConfig:
     attn_impl_encoder: Optional[str] = None
     attn_impl_decoder: Optional[str] = None
     attn_impl_cross: Optional[str] = None
+    # Pre-cast stacked block weights to the compute dtype outside the scan
+    # (see _cast_blocks_once): trades ~half the weight bytes per pass for a
+    # resident bf16 copy of the block tree (~3.1GB for large-v3). Turn off
+    # to fund bigger ``save:`` remat policies from the same HBM.
+    precast_weights: bool = True
 
     @property
     def dtype(self):
@@ -131,8 +145,20 @@ def _remat(fn, fcfg: ForwardConfig):
         # Keep only the softmaxed attention probabilities resident: the
         # backward pass then skips recomputing the (B, H, T, T) fp32 score +
         # softmax pipeline (the HBM-heaviest part of a block) at the cost of
-        # one bf16 probability tensor per layer.
-        policy = jax.checkpoint_policies.save_only_these_names("attn_probs")
+        # one bf16 probability tensor per layer. Both per-call-site names
+        # participate (self- and cross-attention), preserving this policy's
+        # pre-renaming behaviour.
+        policy = jax.checkpoint_policies.save_only_these_names(
+            "attn_probs", "cross_attn_probs"
+        )
+    elif fcfg.remat_policy.startswith("save:"):
+        names = tuple(
+            n.strip() for n in fcfg.remat_policy[len("save:"):].split(",")
+            if n.strip()
+        )
+        if not names:
+            raise ValueError("remat_policy 'save:' needs at least one name")
+        policy = jax.checkpoint_policies.save_only_these_names(*names)
     elif fcfg.remat_policy != "full":
         raise ValueError(f"Unknown remat_policy: {fcfg.remat_policy}")
     return jax.checkpoint(fn, prevent_cse=False, policy=policy)
@@ -289,11 +315,18 @@ def multi_head_attention(
     causal: bool = False,
     impl: str = "xla",
     probs_name: str = "attn_probs",
+    site: str = "enc",
 ) -> jnp.ndarray:
     """Whisper-convention MHA (q and k each effectively scaled by
     d_head**-0.25, fp32 softmax — openai-whisper ``qkv_attention``
     semantics), dispatched to the XLA einsum path or the fused Pallas flash
-    kernel (ops/attention.py)."""
+    kernel (ops/attention.py). The q/k/v projections carry per-site
+    checkpoint names (``{site}_qkv`` / ``cross_q``+``cross_kv``) so a
+    ``save:`` remat policy can pin them resident — cross-attention k/v are
+    separable because their 1500-frame projections are the most expensive
+    decoder-side tensors to recompute."""
+    from jax.ad_checkpoint import checkpoint_name
+
     from whisper_finetune_tpu.ops.attention import attention
 
     B, T, d = x.shape
@@ -303,6 +336,14 @@ def multi_head_attention(
     q = _dense(x, p["q_w"], p["q_b"], dtype).reshape(B, T, n_head, d_head)
     k = _dense(kv, p["k_w"], None, dtype).reshape(B, S, n_head, d_head)
     v = _dense(kv, p["v_w"], p["v_b"], dtype).reshape(B, S, n_head, d_head)
+    if site == "cross":
+        q = checkpoint_name(q, "cross_q")
+        k = checkpoint_name(k, "cross_kv")
+        v = checkpoint_name(v, "cross_kv")
+    else:
+        q = checkpoint_name(q, f"{site}_qkv")
+        k = checkpoint_name(k, f"{site}_qkv")
+        v = checkpoint_name(v, f"{site}_qkv")
 
     o = attention(
         q.transpose(0, 2, 1, 3),
@@ -317,8 +358,13 @@ def multi_head_attention(
     return _dense(o, p["o_w"], p["o_b"], dtype)
 
 
-def _mlp(x: jnp.ndarray, p: Params, dtype) -> jnp.ndarray:
+def _mlp(x: jnp.ndarray, p: Params, dtype, site: str = "enc") -> jnp.ndarray:
+    from jax.ad_checkpoint import checkpoint_name
+
     h = _dense(x, p["fc1_w"], p["fc1_b"], dtype)
+    # fc1's output is the single biggest-FLOP recompute chokepoint in a
+    # block's backward replay; name it so a save: policy can pin it.
+    h = checkpoint_name(h, f"{site}_mlp_h")
     h = jax.nn.gelu(h, approximate=False)
     return _dense(h, p["fc2_w"], p["fc2_b"], dtype)
 
@@ -359,15 +405,19 @@ def _encoder_block(
     dsa_key: jax.Array,
     train: bool,
 ) -> jnp.ndarray:
+    from jax.ad_checkpoint import checkpoint_name
+
     dtype = fcfg.dtype
     x_ln = layer_norm(x, bp["attn_ln"])
     if train and fcfg.dsa_apply:
         masked = _deep_spec_augment(x_ln, dsa_key, fcfg)
         x_ln = jnp.where(dsa_on, masked, x_ln)
+    x_ln = checkpoint_name(x_ln, "enc_ln1")
     x = x + multi_head_attention(
-        x_ln, x_ln, bp["attn"], n_head, dtype, impl=fcfg.enc_attn
+        x_ln, x_ln, bp["attn"], n_head, dtype, impl=fcfg.enc_attn, site="enc"
     )
-    x = x + _mlp(layer_norm(x, bp["mlp_ln"]), bp["mlp"], dtype)
+    x_ln2 = checkpoint_name(layer_norm(x, bp["mlp_ln"]), "enc_ln2")
+    x = x + _mlp(x_ln2, bp["mlp"], dtype, site="enc")
     return x
 
 
@@ -378,16 +428,21 @@ def _decoder_block(
     fcfg: ForwardConfig,
     n_head: int,
 ) -> jnp.ndarray:
+    from jax.ad_checkpoint import checkpoint_name
+
     dtype = fcfg.dtype
-    x_ln = layer_norm(x, bp["attn_ln"])
+    x_ln = checkpoint_name(layer_norm(x, bp["attn_ln"]), "dec_ln1")
     x = x + multi_head_attention(
-        x_ln, x_ln, bp["attn"], n_head, dtype, causal=True, impl=fcfg.dec_attn
+        x_ln, x_ln, bp["attn"], n_head, dtype, causal=True,
+        impl=fcfg.dec_attn, site="dec",
     )
+    x_lnc = checkpoint_name(layer_norm(x, bp["cross_attn_ln"]), "dec_ln_cross")
     x = x + multi_head_attention(
-        layer_norm(x, bp["cross_attn_ln"]), xa, bp["cross_attn"], n_head, dtype,
-        impl=fcfg.cross_attn, probs_name="cross_attn_probs",
+        x_lnc, xa, bp["cross_attn"], n_head, dtype,
+        impl=fcfg.cross_attn, probs_name="cross_attn_probs", site="cross",
     )
-    x = x + _mlp(layer_norm(x, bp["mlp_ln"]), bp["mlp"], dtype)
+    x_ln2 = checkpoint_name(layer_norm(x, bp["mlp_ln"]), "dec_ln2")
+    x = x + _mlp(x_ln2, bp["mlp"], dtype, site="dec")
     return x
 
 
@@ -405,7 +460,12 @@ def _cast_blocks_once(blocks: Params, fcfg: ForwardConfig, train: bool) -> Param
     quantized). Skipped for LoRA runs so adapter deltas still apply to fp32
     base weights, and in fp32 compute where it would be a no-op."""
     dtype = fcfg.dtype
-    if not train or fcfg.lora_scale or dtype == jnp.float32:
+    if (
+        not train
+        or not fcfg.precast_weights
+        or fcfg.lora_scale
+        or dtype == jnp.float32
+    ):
         return blocks
     return jax.tree_util.tree_map(
         lambda a: a.astype(dtype)
