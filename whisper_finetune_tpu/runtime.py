@@ -139,11 +139,27 @@ def setup_wandb(config: Optional[Dict[str, Any]] = None,
         _metrics_file = open(os.path.join(metrics_dir, "metrics.jsonl"), "a")
 
 
+def _is_histogram_record(value: Any) -> bool:
+    return isinstance(value, dict) and value.get("_type") == "histogram"
+
+
 def log(data: Dict[str, Any], step: Optional[int] = None) -> None:
     if not IS_MAIN:
         return
     if _wandb is not None:
-        _wandb.log(data, step=step)
+        # histogram records (counts + edges) become real wandb.Histogram
+        # panels — the wandb.watch(log="all") rendering
+        wb = {
+            k: (
+                _wandb.Histogram(
+                    np_histogram=(v["counts"], v["edges"])
+                )
+                if _is_histogram_record(v)
+                else v
+            )
+            for k, v in data.items()
+        }
+        _wandb.log(wb, step=step)
     if _metrics_file is not None:
         record = {"_step": step, "_time": time.time()}
         record.update({k: _to_jsonable(v) for k, v in data.items()})
@@ -163,9 +179,13 @@ def _to_jsonable(value: Any) -> Any:
 
 
 def watch(params, **kwargs) -> None:
-    # wandb.watch is torch-module specific; parameter histograms for pytrees
-    # are logged explicitly from the train loop instead.
-    pass
+    """wandb.watch(model, log="all") parity, implemented via the train loop
+    rather than backward hooks (which are torch-module specific): the train
+    step built with ``grad_hist_every`` returns per-module gradient
+    histograms on eval steps, and the loop logs them as ``grads_hist/*``
+    together with ``params_hist/*`` parameter histograms and ``params/*``
+    norms (scripts/finetune.py). This function is therefore a no-op; it
+    exists so reference-shaped call sites keep working."""
 
 
 def save_wandb_file(path: str) -> None:

@@ -260,6 +260,40 @@ def _build_lr_log_dict(group_metadata, schedule_factor: float, train_loss: float
     return log_data
 
 
+def _np_histogram_record(counts, lo: float, hi: float) -> Dict:
+    """Serialize a fixed-range histogram as the logging record runtime.log
+    understands (rendered as wandb.Histogram when W&B is live, stored as-is
+    in metrics.jsonl)."""
+    import numpy as np
+
+    counts = np.asarray(counts).astype(int)
+    if hi <= lo:
+        hi = lo + 1e-12
+    edges = np.linspace(lo, hi, counts.size + 1)
+    return {
+        "_type": "histogram",
+        "counts": counts.tolist(),
+        "edges": [float(e) for e in edges],
+    }
+
+
+def _param_histograms(trainable, bins: int = 64) -> Dict[str, Dict]:
+    """``params_hist/<side>.<module>`` 64-bin histograms of the trainable
+    tree — with the step's gradient histograms, the full wandb.watch(model,
+    log="all") telemetry (reference finetune.py:151). Ranges and counts are
+    reduced on device per leaf (no concatenation of the 1.5B-param tree);
+    only the (bins,) count vectors come to host."""
+    from whisper_finetune_tpu.train.step import grad_histograms
+
+    hists = jax.jit(lambda t: grad_histograms(t, bins))(trainable)
+    return {
+        f"params_hist/{name}": _np_histogram_record(
+            jax.device_get(counts), float(lo), float(hi)
+        )
+        for name, (counts, lo, hi) in hists.items()
+    }
+
+
 def _param_norms_by_module(trainable) -> Dict[str, float]:
     """``params/<side>.<module>`` L2 norms over the trainable tree — the
     pytree equivalent of ``wandb.watch(model, log="all")`` parameter
@@ -402,7 +436,11 @@ def main_loop(
     for step in range(start_step + 1, train_steps + 1):
         if profile_dir and step == 3 and rt.IS_MAIN:
             jax.profiler.start_trace(profile_dir)
-        state, loss = step_fn(state, batch, base_rng)
+        out = step_fn(state, batch, base_rng)
+        # 3rd output (present when the step was built with grad_hist_every):
+        # wandb.watch-parity gradient histograms, non-zero on eval steps.
+        state, loss = out[0], out[1]
+        ghists = out[2] if len(out) > 2 else None
         # Overlap: the step is dispatched asynchronously; build + upload the
         # next batch while the device computes, then sync on the loss (the
         # H2D/host-build analogue of the reference's pin_memory +
@@ -442,6 +480,21 @@ def main_loop(
                 optax.global_norm(state.trainable)
             )
             log_data.update(_param_norms_by_module(state.trainable))
+            # wandb.watch(log="all") parity: parameter histograms computed
+            # here, gradient histograms from the step's third output (the
+            # step's lax.cond produced real counts on this step)
+            log_data.update(_param_histograms(state.trainable))
+            # (the step's cond fires on step % val_steps == 0; the
+            # forced final-step eval has no fresh grad histogram)
+            if ghists is not None and (step % val_steps) == 0:
+                log_data.update(
+                    {
+                        f"grads_hist/{name}": _np_histogram_record(
+                            jax.device_get(counts), float(lo), float(hi)
+                        )
+                        for name, (counts, lo, hi) in ghists.items()
+                    }
+                )
         if lora_tracker is not None and is_eval_step:
             params_now = combine_params(state.trainable, state.frozen)
             log_data.update(get_lora_param_stats(params_now))
@@ -814,6 +867,7 @@ def main(config: Dict) -> None:
         zero_shard=zero_shard,
         zero_opt_state=state.opt_state if zero_shard else None,
         accum_dtype=config["training"].get("grad_accum_dtype"),
+        grad_hist_every=int(config["training"]["val_steps"]),
     )
     eval_step = make_eval_step(dims, fcfg, n_mels=dims.n_mels)
 

@@ -107,6 +107,86 @@ def cross_entropy_loss(
 
 
 # ---------------------------------------------------------------------------
+# Gradient histograms (wandb.watch(log="all") analogue)
+# ---------------------------------------------------------------------------
+
+def _hist_groups(tree):
+    """Group tree leaves by their top-two path keys ('encoder.blocks',
+    'decoder.tok_emb', ...) — the same granularity as the params/* norm
+    telemetry."""
+    groups: Dict[str, list] = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        if leaf is None:
+            continue
+        name = ".".join(
+            p.key if hasattr(p, "key") else str(p) for p in path[:2]
+        )
+        groups.setdefault(name, []).append(leaf)
+    return groups
+
+
+def _leaf_histogram(leaf, lo, hi, bins: int):
+    x = leaf.astype(jnp.float32).reshape(-1)
+    span = jnp.maximum(hi - lo, 1e-12)
+    idx = jnp.clip(((x - lo) / span * bins).astype(jnp.int32), 0, bins - 1)
+    return jnp.zeros((bins,), jnp.int32).at[idx].add(1)
+
+
+def grad_histograms(grads, bins: int, shard_flags=None, axis=None):
+    """Per-module-group {name: (counts, lo, hi)} histograms of a gradient
+    tree, computed entirely on device — the telemetry wandb.watch(model,
+    log="all") produces from backward hooks in the reference
+    (finetune.py:151). ``shard_flags`` is a congruent tree of Python bools
+    marking leaves that are per-device ZeRO shards: their reductions are
+    merged across ``axis`` (pmin/pmax for the range, psum for counts) so the
+    result equals the histogram of the full gradient."""
+    from functools import reduce
+
+    flat, treedef = jax.tree_util.tree_flatten(grads)
+    flat_flags = (
+        treedef.flatten_up_to(shard_flags)
+        if shard_flags is not None
+        else [False] * len(flat)
+    )
+    flag_tree = jax.tree_util.tree_unflatten(treedef, flat_flags)
+
+    grouped = _hist_groups(grads)
+    grouped_flags = _hist_groups(flag_tree)
+    out = {}
+    for name, leaves in grouped.items():
+        flags = grouped_flags[name]
+        los, his, counts = [], [], None
+        for leaf, sharded in zip(leaves, flags):
+            l32 = leaf.astype(jnp.float32)
+            lo, hi = jnp.min(l32), jnp.max(l32)
+            if sharded:
+                lo = jax.lax.pmin(lo, axis)
+                hi = jax.lax.pmax(hi, axis)
+            los.append(lo)
+            his.append(hi)
+        glo = reduce(jnp.minimum, los)
+        ghi = reduce(jnp.maximum, his)
+        for leaf, sharded in zip(leaves, flags):
+            c = _leaf_histogram(leaf, glo, ghi, bins)
+            if sharded:
+                c = jax.lax.psum(c, axis)
+            counts = c if counts is None else counts + c
+        out[name] = (counts, glo, ghi)
+    return out
+
+
+def _zeros_histograms(grads, bins: int):
+    return {
+        name: (
+            jnp.zeros((bins,), jnp.int32),
+            jnp.zeros((), jnp.float32),
+            jnp.zeros((), jnp.float32),
+        )
+        for name in _hist_groups(grads)
+    }
+
+
+# ---------------------------------------------------------------------------
 # Train step factory
 # ---------------------------------------------------------------------------
 
@@ -153,6 +233,8 @@ def make_train_step(
     zero_shard: bool = False,
     zero_opt_state=None,
     accum_dtype: Optional[str] = None,
+    grad_hist_every: Optional[int] = None,
+    grad_hist_bins: int = 64,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray], jnp.ndarray], tuple]:
     """Build the jitted data-parallel train step.
 
@@ -167,6 +249,12 @@ def make_train_step(
     the fused log-mel + SpecAugment stage (ops/spec_augment.py) runs inside
     this same program, fusing into the encoder input; otherwise batches carry
     precomputed ``mel``.
+
+    With ``grad_hist_every=N`` the step additionally returns a third output:
+    per-module-group gradient histograms (``{name: (counts, lo, hi)}``,
+    wandb.watch parity) computed on the synchronized pre-clip gradients on
+    steps where ``(step+1) % N == 0`` and all-zero otherwise (a ``lax.cond``
+    skips the work on other steps).
 
     ``zero_shard=True`` enables ZeRO-1: optimizer state lives sharded over
     the data axis (place the state with :func:`zero_state_sharding` first),
@@ -195,8 +283,8 @@ def make_train_step(
         return cross_entropy_loss(logits, mb["dec_output"], label_smoothing)
 
     grad_fn = jax.value_and_grad(loss_fn)
-    # One-pass fused update (adamw_8bit's Pallas kernel); ZeRO keeps the
-    # generic shard-update-gather flow.
+    # One-pass fused update (adamw_8bit's Pallas kernel), used on the full
+    # tree single-mesh and on each device's shard under ZeRO-1.
     fused_apply = getattr(tx, "fused_apply", None)
     data_keys = (
         ("audio", "crop_frames", "dec_input", "dec_output")
@@ -253,6 +341,25 @@ def make_train_step(
 
         loss = jax.lax.pmean(loss_sum / accum_local, DATA_AXIS)
 
+        def maybe_hists(g, flags=None):
+            # watch-parity gradient histograms, computed only on eval steps
+            # (uniform predicate across the mesh, so the collectives inside
+            # the taken branch stay collective)
+            if not grad_hist_every:
+                return None
+            want = ((state.step + 1) % grad_hist_every) == 0
+            return jax.lax.cond(
+                want,
+                lambda t: grad_histograms(t, grad_hist_bins, flags, DATA_AXIS),
+                lambda t: _zeros_histograms(t, grad_hist_bins),
+                g,
+            )
+
+        def pack(new_state, hists):
+            if grad_hist_every:
+                return new_state, loss, hists
+            return new_state, loss
+
         if zero_shard and n_dev > 1:
             idx = jax.lax.axis_index(DATA_AXIS)
 
@@ -277,7 +384,14 @@ def make_train_step(
                 return g.astype(jnp.float32) if acc_dt else g
 
             shard_grads = jax.tree_util.tree_map(reduce_to_shard, grad_sum)
+            hists = maybe_hists(
+                shard_grads,
+                jax.tree_util.tree_map(
+                    lambda p: bool(_zero_shardable(p, n_dev)), state.trainable
+                ),
+            )
 
+            clip = None
             if max_grad_norm is not None:
                 # Global norm reassembled from shards: sharded leaves sum
                 # their local squares (psum'd), replicated leaves count once.
@@ -301,23 +415,45 @@ def make_train_step(
                     jax.lax.psum(sq_shard, DATA_AXIS) + sq_rep
                 )
                 clip = jnp.minimum(1.0, max_grad_norm / (gnorm + 1e-6))
-                shard_grads = jax.tree_util.tree_map(
-                    lambda g: g * clip, shard_grads
-                )
 
             shard_params = jax.tree_util.tree_map(
                 lambda p: take_shard(p) if _zero_shardable(p, n_dev) else p,
                 state.trainable,
             )
+
+            def gather(leaf, param_full):
+                if _zero_shardable(param_full, n_dev):
+                    return jax.lax.all_gather(leaf, DATA_AXIS, axis=0, tiled=True)
+                return leaf
+
+            if fused_apply is not None:
+                # One-pass fused update on each device's shard (the kernel is
+                # shard-agnostic: ZeRO slices are contiguous on the leading
+                # axis so codes/scales line up with the param slice); the
+                # clip factor rides in as the kernel's g_scale scalar and the
+                # all_gather reassembles *updated parameters* rather than
+                # updates.
+                shard_new, opt_state = fused_apply(
+                    shard_grads, state.opt_state, shard_params, g_scale=clip
+                )
+                trainable = jax.tree_util.tree_map(
+                    gather, shard_new, state.trainable
+                )
+                new_state = TrainState(
+                    trainable=trainable,
+                    frozen=state.frozen,
+                    opt_state=opt_state,
+                    step=state.step + 1,
+                )
+                return pack(new_state, hists)
+
+            if clip is not None:
+                shard_grads = jax.tree_util.tree_map(
+                    lambda g: g * clip, shard_grads
+                )
             shard_updates, opt_state = tx.update(
                 shard_grads, state.opt_state, shard_params
             )
-
-            def gather(update, param_full):
-                if _zero_shardable(param_full, n_dev):
-                    return jax.lax.all_gather(update, DATA_AXIS, axis=0, tiled=True)
-                return update
-
             updates = jax.tree_util.tree_map(
                 gather, shard_updates, state.trainable
             )
@@ -329,6 +465,7 @@ def make_train_step(
             grads = jax.tree_util.tree_map(
                 lambda g: jax.lax.pmean(g / accum_local, DATA_AXIS), grad_sum
             )
+            hists = maybe_hists(grads)
             clip = None
             if max_grad_norm is not None:
                 gnorm = jnp.sqrt(
@@ -347,7 +484,7 @@ def make_train_step(
                 opt_state=opt_state,
                 step=state.step + 1,
             )
-            return new_state, loss
+            return pack(new_state, hists)
         else:
             # One collective per optimizer step (the reference's bucketed
             # DDP allreduce collapsed to a single pmean).
@@ -359,6 +496,7 @@ def make_train_step(
                 ),
                 grad_sum,
             )
+            hists = maybe_hists(grads)
             if max_grad_norm is not None:
                 # torch.nn.utils.clip_grad_norm_ semantics
                 # (model_utils.py:107), on full synchronized gradients.
@@ -374,7 +512,7 @@ def make_train_step(
             opt_state=opt_state,
             step=state.step + 1,
         )
-        return new_state, loss
+        return pack(new_state, hists)
 
     n_dev = mesh.devices.size
     rep = P()
@@ -395,11 +533,12 @@ def make_train_step(
             trainable=rep, frozen=rep, opt_state=opt_spec, step=rep
         )
 
+    out_specs = (state_spec, rep, rep) if grad_hist_every else (state_spec, rep)
     sharded = shard_map(
         device_step,
         mesh=mesh,
         in_specs=(state_spec, batch_spec, rep),
-        out_specs=(state_spec, rep),
+        out_specs=out_specs,
         check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,))
