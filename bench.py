@@ -2,9 +2,13 @@
 
 Runs the real jitted train step (fused on-device log-mel + SpecAugment +
 bf16 forward/backward + optimizer update) on synthetic 30-second batches and
-prints ONE JSON line:
+prints the primary metric as ONE JSON line:
 
     {"metric": ..., "value": N, "unit": "audio-hours/sec/chip", "vs_baseline": N}
+
+followed by a second JSON line benchmarking the reference's actual flagship
+optimizer configuration (Muon + aux AdamW at accum_grad_steps 8 —
+config_large_v3_best_muon.yaml).
 
 The reference publishes no benchmark numbers (BASELINE.md), so vs_baseline
 is computed against an analytic A100 estimate: matmul FLOPs per 30 s sample
@@ -56,7 +60,8 @@ def _flops_per_sample(dims) -> float:
 
 
 def _bench_model(name: str, batch: int, steps: int = 10, warmup: int = 2,
-                 lora: bool = False):
+                 lora: bool = False, accum: int = 1, tx_factory=None,
+                 fcfg_overrides=None):
     from whisper_finetune_tpu.models import ForwardConfig, get_preset_dims, init_params
     from whisper_finetune_tpu.models.lora import apply_lora, lora_scale
     from whisper_finetune_tpu.ops.spec_augment import FeaturizeConfig
@@ -80,15 +85,18 @@ def _bench_model(name: str, batch: int, steps: int = 10, warmup: int = 2,
     trainable, frozen = partition_params(params, mask)
 
     mesh = get_data_mesh()
-    tx = optax.adamw(1e-4) if lora else adamw_8bit(2e-5, weight_decay=0.01)
+    if tx_factory is not None:
+        tx = tx_factory(trainable)
+    else:
+        tx = optax.adamw(1e-4) if lora else adamw_8bit(2e-5, weight_decay=0.01)
     state = TrainState(trainable, frozen, tx.init(trainable), jnp.zeros((), jnp.int32))
     state = jax.device_put(state, NamedSharding(mesh, P()))
 
     from whisper_finetune_tpu.ops.attention import resolve_auto_impls
 
-    fcfg = ForwardConfig(
-        compute_dtype="bfloat16", lora_scale=scale, **resolve_auto_impls()
-    )
+    fkw = dict(resolve_auto_impls())
+    fkw.update(fcfg_overrides or {})
+    fcfg = ForwardConfig(compute_dtype="bfloat16", lora_scale=scale, **fkw)
     feat = FeaturizeConfig(n_mels=dims.n_mels, spec_augment=True, p=1.0)
     step_fn = make_train_step(
         mesh, dims, fcfg, tx, 0.1, feat_cfg=feat, max_grad_norm=1.0,
@@ -102,16 +110,20 @@ def _bench_model(name: str, batch: int, steps: int = 10, warmup: int = 2,
         mesh,
         {
             "audio": jnp.asarray(
-                (rng.standard_normal((1, batch_global, 480000)) * 0.05).astype(
+                (rng.standard_normal((accum, batch_global, 480000)) * 0.05).astype(
                     np.float32
                 )
             ),
-            "crop_frames": jnp.full((1, batch_global), 3000, jnp.int32),
+            "crop_frames": jnp.full((accum, batch_global), 3000, jnp.int32),
             "dec_input": jnp.asarray(
-                rng.integers(0, dims.n_vocab, (1, batch_global, 448)).astype(np.int32)
+                rng.integers(
+                    0, dims.n_vocab, (accum, batch_global, 448)
+                ).astype(np.int32)
             ),
             "dec_output": jnp.asarray(
-                rng.integers(0, dims.n_vocab, (1, batch_global, 448)).astype(np.int32)
+                rng.integers(
+                    0, dims.n_vocab, (accum, batch_global, 448)
+                ).astype(np.int32)
             ),
         },
     )
@@ -127,7 +139,10 @@ def _bench_model(name: str, batch: int, steps: int = 10, warmup: int = 2,
     final_loss = float(loss)
     dt = (time.time() - t0) / steps
     assert np.isfinite(final_loss), f"non-finite loss {final_loss}"
-    audio_hours_per_sec_per_chip = batch_global * 30.0 / 3600.0 / dt / n_dev
+    samples_per_opt_step = accum * batch_global
+    audio_hours_per_sec_per_chip = (
+        samples_per_opt_step * 30.0 / 3600.0 / dt / n_dev
+    )
     return dims, dt, audio_hours_per_sec_per_chip
 
 
@@ -142,6 +157,58 @@ MEASURED_PEAK_TFLOPS = 148.8
 MEASURED_HBM_GBPS = 276.0
 
 
+def _result_json(label, dims, batch, accum, step_time, value, extra=None):
+    flops = _flops_per_sample(dims)
+    # A100 estimate: fwd+bwd+remat ~= 4x fwd FLOPs, 45% MFU of 312e12.
+    a100_samples_per_sec = (312e12 * 0.45) / (4 * flops)
+    a100_audio_hours_per_sec = a100_samples_per_sec * 30.0 / 3600.0
+    # MFU vs the measured (not paper) ceiling: train step executes
+    # ~4x forward matmul FLOPs (fwd + full-remat recompute + 2x bwd).
+    achieved_tflops = 4 * flops * batch * accum / step_time / 1e12
+    record = {
+        "metric": f"fine-tune audio-hours/sec/chip ({label}, "
+        "fused on-device featurize)",
+        "value": round(value, 4),
+        "unit": "audio-hours/sec/chip",
+        "vs_baseline": round(value / a100_audio_hours_per_sec, 3),
+        "step_time_s": round(step_time, 3),
+        "devices": jax.device_count(),
+        "achieved_tflops": round(achieved_tflops, 1),
+        "mfu_vs_measured_peak": round(
+            achieved_tflops / MEASURED_PEAK_TFLOPS, 3
+        ),
+        "measured_peak_tflops": MEASURED_PEAK_TFLOPS,
+        "measured_hbm_gbps": MEASURED_HBM_GBPS,
+    }
+    record.update(extra or {})
+    return json.dumps(record)
+
+
+def _muon_flagship_tx(trainable):
+    """The reference's best config's optimizer
+    (configs/config_large_v3_best_muon.yaml optimizer section): Muon on the
+    hidden matrices + auxiliary AdamW, RMS matching on, bf16 momentum (the
+    single-chip fit, optim/muon.py)."""
+    from whisper_finetune_tpu.optim.optimizers import get_optimizer
+
+    conf = {
+        "type": "adamw",
+        "muon": True,
+        "8bit": False,
+        "muon_ndim_threshold": 2,
+        "muon_params": {"lr": 2e-5, "momentum": 0.95, "weight_decay": 0.01},
+        "params": {
+            "lr": 2e-5,
+            "weight_decay": 0.01,
+            "betas": [0.9, 0.98],
+            "eps": 1e-6,
+        },
+        "muon_momentum_dtype": "bfloat16",
+    }
+    tx, _ = get_optimizer(trainable, conf)
+    return tx
+
+
 def main():
     attempts = [
         ("large-v3 full fine-tune (8-bit state, bf16 accum)", "large-v3", 6, False),
@@ -153,37 +220,37 @@ def main():
     for label, name, batch, lora in attempts:
         try:
             dims, step_time, value = _bench_model(name, batch, lora=lora)
-            flops = _flops_per_sample(dims)
-            # A100 estimate: fwd+bwd+remat ~= 4x fwd FLOPs, 45% MFU of 312e12.
-            a100_samples_per_sec = (312e12 * 0.45) / (4 * flops)
-            a100_audio_hours_per_sec = a100_samples_per_sec * 30.0 / 3600.0
-            # MFU vs the measured (not paper) ceiling: train step executes
-            # ~4x forward matmul FLOPs (fwd + full-remat recompute + 2x bwd).
-            achieved_tflops = 4 * flops * batch / step_time / 1e12
-            print(
-                json.dumps(
-                    {
-                        "metric": f"fine-tune audio-hours/sec/chip ({label}, "
-                        "fused on-device featurize)",
-                        "value": round(value, 4),
-                        "unit": "audio-hours/sec/chip",
-                        "vs_baseline": round(value / a100_audio_hours_per_sec, 3),
-                        "step_time_s": round(step_time, 3),
-                        "devices": jax.device_count(),
-                        "achieved_tflops": round(achieved_tflops, 1),
-                        "mfu_vs_measured_peak": round(
-                            achieved_tflops / MEASURED_PEAK_TFLOPS, 3
-                        ),
-                        "measured_peak_tflops": MEASURED_PEAK_TFLOPS,
-                        "measured_hbm_gbps": MEASURED_HBM_GBPS,
-                    }
-                )
-            )
-            return
+            print(_result_json(label, dims, batch, 1, step_time, value))
+            break
         except Exception as e:  # noqa: BLE001 - fall through to smaller model
             last_err = e
             print(f"# bench for {label} failed ({type(e).__name__}); trying fallback")
-    raise SystemExit(f"bench failed for all model sizes: {last_err}")
+    else:
+        raise SystemExit(f"bench failed for all model sizes: {last_err}")
+
+    # Second line: the reference's actual flagship workload —
+    # config_large_v3_best_muon.yaml trains with Muon + aux AdamW at
+    # accum_grad_steps 8, which amortizes the Newton-Schulz orthogonalization
+    # over 8 microbatches exactly as the reference amortizes it over 8
+    # DataLoader batches.
+    try:
+        MUON_ACCUM = 8
+        dims, step_time, value = _bench_model(
+            "large-v3", 6, steps=3, warmup=1, accum=MUON_ACCUM,
+            tx_factory=_muon_flagship_tx,
+        )
+        print(
+            _result_json(
+                "large-v3 Muon flagship, accum 8", dims, 6, MUON_ACCUM,
+                step_time, value,
+                extra={
+                    "accum_grad_steps": MUON_ACCUM,
+                    "microbatch_step_time_s": round(step_time / MUON_ACCUM, 3),
+                },
+            )
+        )
+    except Exception as e:  # noqa: BLE001 - the muon line is additive
+        print(f"# muon flagship bench failed ({type(e).__name__}): {e}")
 
 
 if __name__ == "__main__":

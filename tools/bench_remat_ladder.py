@@ -1,0 +1,201 @@
+"""Measure the flagship train step under a ladder of remat/attention
+configurations on the real chip.
+
+Each case compiles a fresh XLA program (~5-15 min each through the remote
+compile service), so cases are ordered most-promising-first and every
+result is flushed to stdout as soon as it lands. OOM at compile time is
+caught and logged — the ladder continues.
+
+Usage:  PYTHONPATH=/root/repo python tools/bench_remat_ladder.py [case ...]
+        (no args = all cases)
+"""
+
+import sys
+import time
+import traceback
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def bench_case(label: str, batch: int, fcfg_overrides: dict,
+               steps: int = 8, warmup: int = 3, unroll: int = 1) -> None:
+    from whisper_finetune_tpu.models import (
+        ForwardConfig,
+        get_preset_dims,
+        init_params,
+    )
+    from whisper_finetune_tpu.ops.attention import resolve_auto_impls
+    from whisper_finetune_tpu.ops.spec_augment import FeaturizeConfig
+    from whisper_finetune_tpu.optim.quantized import adamw_8bit
+    from whisper_finetune_tpu.parallel import get_data_mesh
+    from whisper_finetune_tpu.train.step import (
+        TrainState,
+        make_train_step,
+        partition_params,
+        shard_batch,
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    t_start = time.time()
+    dims = get_preset_dims("large-v3")
+    params = init_params(jax.random.PRNGKey(0), dims)
+    trainable, frozen = partition_params(params, None)
+
+    mesh = get_data_mesh()
+    tx = adamw_8bit(2e-5, weight_decay=0.01)
+    state = TrainState(
+        trainable, frozen, tx.init(trainable), jnp.zeros((), jnp.int32)
+    )
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+
+    fkw = dict(resolve_auto_impls())
+    fkw.update(fcfg_overrides)
+    fcfg = ForwardConfig(compute_dtype="bfloat16", **fkw)
+    feat = FeaturizeConfig(n_mels=dims.n_mels, spec_augment=True, p=1.0)
+    step_fn = make_train_step(
+        mesh, dims, fcfg, tx, 0.1, feat_cfg=feat, max_grad_norm=1.0,
+        accum_dtype="bfloat16",
+    )
+
+    rng = np.random.default_rng(0)
+    data = shard_batch(
+        mesh,
+        {
+            "audio": jnp.asarray(
+                (rng.standard_normal((1, batch, 480000)) * 0.05).astype(
+                    np.float32
+                )
+            ),
+            "crop_frames": jnp.full((1, batch), 3000, jnp.int32),
+            "dec_input": jnp.asarray(
+                rng.integers(0, dims.n_vocab, (1, batch, 448)).astype(np.int32)
+            ),
+            "dec_output": jnp.asarray(
+                rng.integers(0, dims.n_vocab, (1, batch, 448)).astype(np.int32)
+            ),
+        },
+    )
+    key = jax.random.PRNGKey(0)
+
+    if unroll > 1:
+        # N steps inlined into ONE XLA program: the scheduler can overlap
+        # step k's trailing optimizer updates with step k+1's early forward
+        # (the params a layer reads first are updated long before the big
+        # decoder/mlp leaves finish their one-pass updates).
+        inner = step_fn
+
+        def unrolled(state, data, key):
+            for j in range(unroll):
+                state, loss = inner(state, data, jax.random.fold_in(key, j))
+            return state, loss
+
+        step_fn = jax.jit(unrolled, donate_argnums=(0,))
+
+    for _ in range(warmup):
+        state, loss = step_fn(state, data, key)
+    float(loss)
+    compile_s = time.time() - t_start
+    t0 = time.time()
+    for _ in range(steps):
+        state, loss = step_fn(state, data, key)
+    final_loss = float(loss)
+    dt = (time.time() - t0) / steps / unroll
+    assert np.isfinite(final_loss)
+    hbm_peak = None
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        hbm_peak = round(stats.get("peak_bytes_in_use", 0) / 2**30, 2)
+    except Exception:
+        pass
+    audio_hps = batch * 30.0 / 3600.0 / dt
+    print(
+        f"RESULT {label}: step={dt*1000:.1f} ms  audio-h/s={audio_hps:.4f}"
+        f"  batch={batch}  peak_hbm={hbm_peak} GiB"
+        f"  (setup+compile {compile_s:.0f}s)",
+        flush=True,
+    )
+
+
+CASES = {
+    # round-2 shipped configuration (should reproduce 973 ms from cache)
+    "base": (6, {}),
+    # decoder-side selective remat (dec self-attn probs are the only
+    # "attn_probs"-named tensor on TPU: the encoder runs splash)
+    "save_dec_probs": (6, {"remat_policy": "save:attn_probs"}),
+    "save_dec_proj": (6, {"remat_policy": "save:dec_qkv,dec_mlp_h"}),
+    "save_dec_probs_qkv": (6, {"remat_policy": "save:attn_probs,dec_qkv"}),
+    "save_dec_qkv": (6, {"remat_policy": "save:dec_qkv"}),
+    "save_dec_lns": (
+        6, {"remat_policy": "save:dec_ln1,dec_ln2,dec_ln_cross"},
+    ),
+    "save_dec_qkv_lns": (
+        6, {"remat_policy": "save:dec_qkv,dec_ln1,dec_ln2,dec_ln_cross"},
+    ),
+    "save_cross_kv": (6, {"remat_policy": "save:cross_q,cross_kv"}),
+    # kernel mix: cross-attention probs (161MB bf16/layer) are the biggest
+    # HBM tensors in the decoder — splash materializes nothing
+    "cross_splash": (6, {"attn_impl_cross": "splash"}),
+    "dec_all_splash": (
+        6,
+        {"attn_impl_cross": "splash", "attn_impl_decoder": "splash"},
+    ),
+    "cross_splash_save_dec": (
+        6,
+        {
+            "attn_impl_cross": "splash",
+            "remat_policy": "save:dec_qkv,dec_mlp_h",
+        },
+    ),
+    "cross_splash_save_qkv": (
+        6,
+        {"attn_impl_cross": "splash", "remat_policy": "save:dec_qkv"},
+    ),
+    # trade the resident bf16 weight copy (~3.1GB) for activation saves
+    "nocast_save_dec": (
+        6,
+        {
+            "precast_weights": False,
+            "remat_policy": "save:attn_probs,dec_qkv,dec_mlp_h",
+        },
+    ),
+    "nocast_save_enc_qkv": (
+        6,
+        {"precast_weights": False, "remat_policy": "save:enc_qkv,dec_qkv"},
+    ),
+    # bigger batch, full remat (MFU via batch instead of saves)
+    "batch8": (8, {}),
+    # two steps in one XLA program: overlap optimizer tail with next fwd
+    "unroll2": (6, {}, 2),
+    "unroll2_cross_splash": (6, {"attn_impl_cross": "splash"}, 2),
+}
+
+
+def main() -> None:
+    names = sys.argv[1:] or list(CASES)
+    for name in names:
+        case = CASES[name]
+        batch, over = case[0], case[1]
+        unroll = case[2] if len(case) > 2 else 1
+        try:
+            bench_case(name, batch, over, unroll=unroll)
+        except Exception as e:  # noqa: BLE001 - log and continue the ladder
+            msg = str(e)
+            over_line = next(
+                (
+                    ln.strip()
+                    for ln in msg.splitlines()
+                    if "Exceeded hbm capacity" in ln or "Used " in ln
+                ),
+                msg.splitlines()[0] if msg else "",
+            )
+            print(
+                f"RESULT {name}: FAILED {type(e).__name__}: {over_line}",
+                flush=True,
+            )
+
+
+if __name__ == "__main__":
+    main()
