@@ -19,6 +19,7 @@ model runs identically (within bf16 tolerance) on CPU test meshes.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional
 
@@ -160,6 +161,7 @@ def _splash_kernel(n_heads, Tq_pad, Tk_pad, Tq, Tk, causal, variant):
     The mask is static: keys beyond ``Tk`` are never attendable, queries
     beyond ``Tq`` are garbage rows sliced off by the caller (they get one
     attendable key so every softmax row stays well-formed)."""
+    variant = os.environ.get("WFT_SPLASH_VARIANT", variant)
     key = (n_heads, Tq_pad, Tk_pad, Tq, Tk, causal, variant)
     if key in _SPLASH_CACHE:
         return _SPLASH_CACHE[key]
@@ -179,8 +181,14 @@ def _splash_kernel(n_heads, Tq_pad, Tk_pad, Tq, Tk, causal, variant):
     # Measured on v5e (B=6, H=20, D=64, T=1536): the full KV extent in one
     # inner pass (block_kv=1536) beats 512-blocks by ~14% on the fused
     # fwd+bwd round-trip — fewer online-softmax rescale passes.
-    bq = min(512, Tq_pad)
-    bkv = min(1536, Tk_pad)
+    # WFT_SPLASH_BQ/BKV are benchmarking overrides (tools/
+    # bench_remat_ladder.py sweeps block sizes through the full train
+    # step); they are read at trace time, so set them only in dedicated
+    # benchmark processes.
+    bq = int(os.environ.get("WFT_SPLASH_BQ", 0)) or min(512, Tq_pad)
+    bkv = int(os.environ.get("WFT_SPLASH_BKV", 0)) or min(1536, Tk_pad)
+    bq = min(bq, Tq_pad)
+    bkv = min(bkv, Tk_pad)
     if variant == "fused_bwd":
         block_sizes = sk.BlockSizes(
             block_q=bq, block_kv=bkv,
@@ -279,13 +287,26 @@ def flash_fwd_xla_bwd(
 
 def resolve_auto_impls() -> dict:
     """ForwardConfig attention fields for ``attn_impl: auto``: the measured
-    fastest mix on TPU (splash for the 1500-frame encoder self-attention,
-    where the fused fwd+bwd kernels beat XLA by ~19% per layer round-trip;
-    XLA elsewhere — decoder/cross shapes are a wash, tools/bench_attention.py)
-    and plain XLA off-TPU, where Pallas TPU kernels can't run."""
+    fastest mix on TPU, and plain XLA off-TPU (Pallas TPU kernels can't run
+    there). Measured on the full large-v3 train step (v5e,
+    tools/bench_remat_ladder.py, docs/perf_round3.md):
+
+    * encoder self-attention -> splash: fused fwd+bwd kernels beat XLA by
+      ~19% per layer round-trip at the 1500-frame context,
+    * decoder cross-attention -> splash: 955.4 vs 973.2 ms/step — the
+      (448, 1500) probs (161 MB bf16/layer) were the decoder's largest
+      HBM tensors and splash materializes nothing in either direction,
+    * decoder self-attention stays XLA: adding splash there measured
+      *slower* (961.2 ms) — the 448-token causal shape underfills the
+      kernel grid.
+    """
     platform = jax.devices()[0].platform
     if platform in ("tpu", "axon"):
-        return {"attn_impl": "xla", "attn_impl_encoder": "splash"}
+        return {
+            "attn_impl": "xla",
+            "attn_impl_encoder": "splash",
+            "attn_impl_cross": "splash",
+        }
     return {"attn_impl": "xla"}
 
 
