@@ -139,9 +139,18 @@ _OPTIMIZER_DEFAULTS: Dict[str, Any] = {
     "muon_params": {},
     "muon_match_adamw_update_rms": True,
     "muon_match_factor": 0.2,
-    # Extension: store Muon momentum in this dtype ("bfloat16" fits full
-    # large-v3 Muon on a single 16GB chip; None keeps fp32).
+    # Extension: store Muon momentum in this dtype ("bfloat16" halves it,
+    # "int8" stores it blockwise-quantized at ~1 byte/param; None keeps
+    # fp32). State size decides whether full large-v3 Muon fits 16GB.
     "muon_momentum_dtype": None,
+    # Extension: Newton-Schulz iteration count and coefficient schedule
+    # ("classic" repeats the public Muon quintic; "polar_express" walks the
+    # per-iteration minimax schedule — lower orthogonality error per
+    # matmul, see optim/muon.py).
+    "muon_ns_steps": 5,
+    "muon_ns_coeffs": "classic",
+    # Extension: blockwise 8-bit state for the auxiliary AdamW leaves.
+    "muon_aux_8bit": False,
     "params": {},
 }
 
@@ -219,6 +228,17 @@ def validate_config(config: Dict[str, Any]) -> Dict[str, Any]:
         raise ValueError(
             "gradient_checkpointing_encoder_last_only is not supported when "
             "gradient_checkpointing_encoder is enabled"
+        )
+
+    opt = out["optimizer"]
+    if int(opt["muon_ns_steps"]) < 1:
+        raise ValueError(
+            f"optimizer.muon_ns_steps must be >= 1, got {opt['muon_ns_steps']}"
+        )
+    if opt["muon_ns_coeffs"] not in ("classic", "polar_express"):
+        raise ValueError(
+            "optimizer.muon_ns_coeffs must be 'classic' or 'polar_express', "
+            f"got {opt['muon_ns_coeffs']!r}"
         )
 
     aug = out["augmentation"]

@@ -31,18 +31,57 @@ import jax.numpy as jnp
 import optax
 
 # Quintic Newton-Schulz coefficients tuned for fast convergence of the
-# orthogonalization (public Muon recipe).
+# orthogonalization (public Muon recipe), repeated every iteration.
 _NS_COEFFS = (3.4445, -4.7750, 2.0315)
 NS_STEPS = 5
 
+# Per-iteration greedy-minimax quintic schedule ("polar express" style),
+# derived numerically by tools/derive_ns_schedule.py: iteration k applies
+# the odd quintic minimizing max |1 - p(x)| over the singular-value
+# interval the previous iterations produced (starting from [1e-3, 1],
+# with a 1.01 bf16 safety divisor and a hard 1.30 overshoot cap — the cap
+# keeps every intermediate iterate inside the quintic convergence basin
+# under bf16 rounding; the uncapped greedy schedule overshoots to ~1.97
+# and diverges on spectra that fill the design interval). At 5+
+# iterations this reaches a smaller orthogonality error than repeating
+# _NS_COEFFS (1280x5120 iid: max|sigma-1| 0.14/0.011 at pe5/pe6 vs 0.32
+# for classic at any count).
+_PE_SCHEDULE = (
+    (5.3671448113, -15.2922309232, 10.9057949056),
+    (4.1577402765, -7.1124594575, 3.0569510747),
+    (4.1071607176, -6.8699050053, 2.9332526953),
+    (3.8987663420, -5.9290606752, 2.4575469723),
+    (2.8015437046, -3.0300700692, 1.1251543513),
+    (1.8932735009, -1.2956875927, 0.3923299763),
+    (1.8748218094, -1.2747593096, 0.3900388892),
+)
+
+
+def _ns_coeff_table(steps: int, coeffs: str) -> jnp.ndarray:
+    if coeffs == "classic":
+        return jnp.asarray([_NS_COEFFS] * steps, jnp.float32)
+    if coeffs == "polar_express":
+        if steps > len(_PE_SCHEDULE):
+            raise ValueError(
+                f"polar_express schedule supports at most {len(_PE_SCHEDULE)} "
+                f"iterations, got ns_steps={steps}"
+            )
+        return jnp.asarray(_PE_SCHEDULE[:steps], jnp.float32)
+    raise ValueError(f"unknown ns_coeffs {coeffs!r} (classic | polar_express)")
+
 
 def newton_schulz_orthogonalize(
-    g: jnp.ndarray, steps: int = NS_STEPS, eps: float = 1e-7
+    g: jnp.ndarray,
+    steps: int = NS_STEPS,
+    eps: float = 1e-7,
+    coeffs: str = "classic",
 ) -> jnp.ndarray:
     """Approximately orthogonalize the last two axes of ``g`` (semi-orthogonal
     factor of its polar decomposition). Leading axes are batched. Compute in
-    bf16 — five batched matmuls, all MXU work."""
-    a, b, c = _NS_COEFFS
+    bf16 — batched matmuls, all MXU work. ``coeffs`` selects the iteration
+    polynomial: "classic" repeats the public Muon quintic, "polar_express"
+    walks the per-iteration minimax schedule (_PE_SCHEDULE)."""
+    table = _ns_coeff_table(steps, coeffs)
     orig_dtype = g.dtype
     transpose = g.shape[-2] > g.shape[-1]
     x = jnp.swapaxes(g, -2, -1) if transpose else g
@@ -52,13 +91,17 @@ def newton_schulz_orthogonalize(
     )
     x = (x.astype(jnp.float32) / (norm + eps)).astype(jnp.bfloat16)
 
-    def body(x, _):
+    def body(x, abc):
+        a, b, c = abc[0], abc[1], abc[2]
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
+        c = c.astype(jnp.bfloat16)
         xxt = jnp.matmul(x, jnp.swapaxes(x, -2, -1), preferred_element_type=jnp.bfloat16)
         bxx = b * xxt + c * jnp.matmul(xxt, xxt, preferred_element_type=jnp.bfloat16)
         x = a * x + jnp.matmul(bxx, x, preferred_element_type=jnp.bfloat16)
         return x, None
 
-    x, _ = jax.lax.scan(body, x, None, length=steps)
+    x, _ = jax.lax.scan(body, x, table)
     x = jnp.swapaxes(x, -2, -1) if transpose else x
     return x.astype(orig_dtype)
 
@@ -92,6 +135,7 @@ def scale_by_muon(
     weight_decay: float = 0.0,
     nesterov: bool = True,
     ns_steps: int = NS_STEPS,
+    ns_coeffs: str = "classic",
     match_adamw_update_rms: bool = True,
     match_factor: float = 0.2,
     stacked: bool = True,
@@ -115,22 +159,50 @@ def scale_by_muon(
     update is reassembled with one ``all_gather`` — Newton-Schulz cost drops
     by the data-parallel width instead of being replicated.
 
-    ``momentum_dtype="bfloat16"`` stores the momentum buffer half-width
-    (accumulation still in fp32). Muon is unusually tolerant of momentum
-    rounding — Newton-Schulz only keeps the orthogonal factor of the update,
-    discarding magnitudes — and the 2x state saving is what fits the full
-    large-v3 Muon flagship on a single 16GB chip (measured: fp32 momentum
-    overflows HBM by 1.8GB at batch 6).
+    ``momentum_dtype`` shrinks the momentum buffer: ``"bfloat16"`` stores it
+    half-width, ``"int8"`` stores it blockwise-quantized (int8 codes +
+    per-256-block fp32 absmax scales, the optim/quantized.py machinery) —
+    a 3.9x state reduction. Muon is unusually tolerant of momentum
+    rounding — Newton-Schulz only keeps the orthogonal factor of the
+    update, discarding magnitudes — and state size is what decides whether
+    the full large-v3 Muon flagship fits a single 16GB chip (measured:
+    fp32 momentum overflows HBM by 1.8GB at batch 6; bf16 fits but leaves
+    XLA so little headroom that the in-step update schedule collapses).
     """
-    store_dt = jnp.dtype(momentum_dtype) if momentum_dtype else None
+    from whisper_finetune_tpu.optim.quantized import (
+        MIN_QUANT_SIZE,
+        _QMoment,
+        dequantize_blockwise,
+        quantize_blockwise,
+    )
+
+    use_q = momentum_dtype in ("int8", "int8_blockwise")
+    store_dt = (
+        jnp.dtype(momentum_dtype) if momentum_dtype and not use_q else None
+    )
 
     def matrix_shape(leaf):
         return leaf.shape[1:] if stacked and leaf.ndim >= 3 else leaf.shape
 
+    def _mom_zero(p):
+        if use_q and p.size >= MIN_QUANT_SIZE:
+            return _QMoment(*quantize_blockwise(jnp.zeros(p.shape, jnp.float32)))
+        return jnp.zeros(p.shape, store_dt or p.dtype)
+
+    def _mom_load(stored, like):
+        if isinstance(stored, _QMoment):
+            return dequantize_blockwise(stored.codes, stored.scale, like.shape)
+        return stored.astype(like.dtype)
+
+    def _mom_store(value, prev):
+        # Structure-preserving (quantize iff the slot is quantized), so the
+        # state pytree stays stable under ZeRO sharding.
+        if isinstance(prev, _QMoment):
+            return _QMoment(*quantize_blockwise(value))
+        return value.astype(prev.dtype)
+
     def init_fn(params):
-        mom = jax.tree_util.tree_map(
-            lambda p: jnp.zeros(p.shape, store_dt or p.dtype), params
-        )
+        mom = jax.tree_util.tree_map(_mom_zero, params)
         return MuonState(count=jnp.zeros((), jnp.int32), momentum=mom)
 
     def update_fn(grads, state, params=None):
@@ -139,16 +211,13 @@ def scale_by_muon(
         count = state.count + 1
         lr = learning_rate(state.count) if callable(learning_rate) else learning_rate
 
-        new_mom = jax.tree_util.tree_map(
-            lambda m, g: (momentum * m.astype(g.dtype) + g).astype(
-                store_dt or m.dtype
-            ),
-            state.momentum,
-            grads,
-        )
+        flat_g, treedef = jax.tree_util.tree_flatten(grads)
+        flat_m = treedef.flatten_up_to(state.momentum)
+        flat_p = treedef.flatten_up_to(params)
 
-        def leaf_update(g, m, p):
-            m = m.astype(g.dtype)
+        new_updates, new_mom = [], []
+        for g, m_s, p in zip(flat_g, flat_m, flat_p):
+            m = momentum * _mom_load(m_s, g) + g
             upd = g + momentum * m if nesterov else m
             if (
                 shard_axis is not None
@@ -159,10 +228,14 @@ def scale_by_muon(
                 per_dev = upd.shape[0] // shard_axis_size
                 idx = jax.lax.axis_index(shard_axis)
                 local = jax.lax.dynamic_slice_in_dim(upd, idx * per_dev, per_dev)
-                o_local = newton_schulz_orthogonalize(local, steps=ns_steps)
+                o_local = newton_schulz_orthogonalize(
+                    local, steps=ns_steps, coeffs=ns_coeffs
+                )
                 o = jax.lax.all_gather(o_local, shard_axis, axis=0, tiled=True)
             else:
-                o = newton_schulz_orthogonalize(upd, steps=ns_steps)
+                o = newton_schulz_orthogonalize(
+                    upd, steps=ns_steps, coeffs=ns_coeffs
+                )
             shape = matrix_shape(g)
             scale = muon_shape_scale(shape)
             eff_lr = lr * (
@@ -172,9 +245,11 @@ def scale_by_muon(
             )
             # Decoupled decay: wd is divided by the rms scale in the
             # reference groups, so lr_g * wd_g == lr * wd regardless.
-            return -(eff_lr * scale) * o - (lr * weight_decay) * p
+            new_updates.append(-(eff_lr * scale) * o - (lr * weight_decay) * p)
+            new_mom.append(_mom_store(m, m_s))
 
-        updates = jax.tree_util.tree_map(leaf_update, grads, new_mom, params)
-        return updates, MuonState(count=count, momentum=new_mom)
+        updates = jax.tree_util.tree_unflatten(treedef, new_updates)
+        mom = jax.tree_util.tree_unflatten(treedef, new_mom)
+        return updates, MuonState(count=count, momentum=mom)
 
     return optax.GradientTransformation(init_fn, update_fn)

@@ -170,8 +170,13 @@ def get_optimizer(
                 "WARNING: optimizer.type is ignored when optimizer.muon=True. "
                 "Using Muon with auxiliary AdamW."
             )
-        if use_8bit:
-            print("WARNING: optimizer.8bit=True is ignored for Muon.")
+        aux_8bit = bool(optimizer_conf.get("muon_aux_8bit", False))
+        if use_8bit and not aux_8bit:
+            print(
+                "WARNING: optimizer.8bit=True is ignored for Muon "
+                "(set optimizer.muon_aux_8bit=True for 8-bit auxiliary "
+                "AdamW state)."
+            )
         ndim_threshold = int(optimizer_conf.get("muon_ndim_threshold", 2))
         if ndim_threshold < 1:
             raise ValueError(
@@ -198,6 +203,8 @@ def get_optimizer(
         muon_momentum = float(muon_conf.get("momentum", 0.95))
         muon_wd = float(muon_conf.get("weight_decay", adamw_conf["weight_decay"]))
 
+        ns_steps = int(optimizer_conf.get("muon_ns_steps", 5))
+        ns_coeffs = str(optimizer_conf.get("muon_ns_coeffs", "classic"))
         labels = muon_param_labels(trainable_params, ndim_threshold)
         tx = optax.multi_transform(
             {
@@ -205,15 +212,22 @@ def get_optimizer(
                     learning_rate=_scheduled_lr(muon_lr, schedule),
                     momentum=muon_momentum,
                     weight_decay=muon_wd,
+                    ns_steps=ns_steps,
+                    ns_coeffs=ns_coeffs,
                     match_adamw_update_rms=match,
                     match_factor=factor,
                     shard_axis=data_shard_axis,
                     shard_axis_size=data_axis_size,
-                    # extension: half-width momentum buffer (what fits full
-                    # large-v3 Muon on a single 16GB chip)
+                    # extension: compressed momentum buffer ("bfloat16" or
+                    # blockwise "int8"); state size decides whether full
+                    # large-v3 Muon fits a 16GB chip with HBM headroom
                     momentum_dtype=optimizer_conf.get("muon_momentum_dtype"),
                 ),
-                "adamw": _adam_like(adamw_conf, schedule, decoupled=True),
+                # extension: 8-bit auxiliary AdamW state (embeddings are the
+                # bulk of the aux leaves — ~0.9GB fp32 moments on large-v3)
+                "adamw": _adam_like(
+                    adamw_conf, schedule, decoupled=True, use_8bit=aux_8bit
+                ),
             },
             labels,
         )
