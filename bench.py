@@ -61,7 +61,8 @@ def _flops_per_sample(dims) -> float:
 
 def _bench_model(name: str, batch: int, steps: int = 10, warmup: int = 2,
                  lora: bool = False, accum: int = 1, tx_factory=None,
-                 fcfg_overrides=None):
+                 fcfg_overrides=None, split_update: bool = False,
+                 manual_backward: bool = False):
     from whisper_finetune_tpu.models import ForwardConfig, get_preset_dims, init_params
     from whisper_finetune_tpu.models.lora import apply_lora, lora_scale
     from whisper_finetune_tpu.ops.spec_augment import FeaturizeConfig
@@ -100,7 +101,8 @@ def _bench_model(name: str, batch: int, steps: int = 10, warmup: int = 2,
     feat = FeaturizeConfig(n_mels=dims.n_mels, spec_augment=True, p=1.0)
     step_fn = make_train_step(
         mesh, dims, fcfg, tx, 0.1, feat_cfg=feat, max_grad_norm=1.0,
-        accum_dtype=None if lora else "bfloat16",
+        accum_dtype=None if lora else "bfloat16", split_update=split_update,
+        manual_backward=manual_backward,
     )
 
     n_dev = mesh.devices.size
@@ -187,14 +189,16 @@ def _result_json(label, dims, batch, accum, step_time, value, extra=None):
 def _muon_flagship_tx(trainable):
     """The reference's best config's optimizer
     (configs/config_large_v3_best_muon.yaml optimizer section): Muon on the
-    hidden matrices + auxiliary AdamW, RMS matching on, bf16 momentum (the
-    single-chip fit, optim/muon.py)."""
+    hidden matrices + auxiliary AdamW, RMS matching on. State compressed
+    for the single-chip 16GB fit (optim/muon.py): blockwise-int8 momentum
+    + 8-bit aux AdamW — bf16 momentum alone left so little HBM headroom
+    that the cross-splash scratch pushed the step over the edge."""
     from whisper_finetune_tpu.optim.optimizers import get_optimizer
 
     conf = {
         "type": "adamw",
         "muon": True,
-        "8bit": False,
+        "8bit": True,
         "muon_ndim_threshold": 2,
         "muon_params": {"lr": 2e-5, "momentum": 0.95, "weight_decay": 0.01},
         "params": {
@@ -203,7 +207,8 @@ def _muon_flagship_tx(trainable):
             "betas": [0.9, 0.98],
             "eps": 1e-6,
         },
-        "muon_momentum_dtype": "bfloat16",
+        "muon_momentum_dtype": "int8",
+        "muon_aux_8bit": True,
     }
     tx, _ = get_optimizer(trainable, conf)
     return tx
@@ -237,7 +242,8 @@ def main():
         MUON_ACCUM = 8
         dims, step_time, value = _bench_model(
             "large-v3", 6, steps=3, warmup=1, accum=MUON_ACCUM,
-            tx_factory=_muon_flagship_tx,
+            tx_factory=_muon_flagship_tx, split_update=True,
+            manual_backward=True,
         )
         print(
             _result_json(

@@ -370,3 +370,34 @@ def test_save_policy_gradients_match_full_remat(tiny_params):
             ForwardConfig(compute_dtype="float32", remat_policy="save:"),
             train=True,
         )
+
+
+def test_slice_cast_matches_precast(tiny_params):
+    """precast_weights=False (per-layer barriered slice cast inside the scan
+    body — the split-update Muon flagship's memory fit) must produce the
+    same bf16 training loss and gradients as the default whole-tree precast:
+    it is the identical cast, placed per layer."""
+    mel, tokens = _random_inputs()
+    targets = np.roll(np.asarray(tokens), -1, axis=-1).astype(np.int32)
+
+    from whisper_finetune_tpu.train.step import cross_entropy_loss
+
+    def loss_for(fcfg):
+        def loss_fn(p):
+            logits = forward.__wrapped__(
+                p, mel, jnp.asarray(tokens), TINY, fcfg, train=True
+            )
+            return cross_entropy_loss(logits, jnp.asarray(targets))
+
+        return jax.jit(jax.value_and_grad(loss_fn))(tiny_params)
+
+    common = dict(compute_dtype="bfloat16", remat_encoder=True, remat_decoder=True)
+    base_l, base_g = loss_for(ForwardConfig(precast_weights=True, **common))
+    l, g = loss_for(ForwardConfig(precast_weights=False, **common))
+    assert float(l) == pytest.approx(float(base_l), abs=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(base_g), jax.tree_util.tree_leaves(g)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4
+        )

@@ -488,3 +488,129 @@ def test_muon_ns_schedule_config_keys():
         if hasattr(l, "dtype") and l.dtype == jnp.int8
     ]
     assert len(codes) >= 2
+
+
+def test_muon_chunked_leaf_matches_whole_leaf():
+    """chunk_temp_mb (layer-axis lax.scan over big stacked leaves — the
+    bound on one leaf-update's fp32 working set that fits the large-v3
+    update program on one 16GB chip) must not change the math: fp32/bf16
+    momentum parity is tight; int8 momentum may differ by one quantization
+    LSB (the chunked compilation can round the per-block scale one ULP
+    differently, flipping codes at .5 boundaries)."""
+    import numpy as np
+
+    from whisper_finetune_tpu.optim.muon import scale_by_muon
+
+    rng = np.random.default_rng(0)
+    params = {
+        "big": jnp.asarray(rng.standard_normal((8, 64, 256)), jnp.float32),
+        "odd": jnp.asarray(rng.standard_normal((4, 128, 64)), jnp.float32),
+        "small": jnp.asarray(rng.standard_normal((8, 8)), jnp.float32),
+    }
+    grads = jax.tree_util.tree_map(
+        lambda p: jnp.asarray(
+            rng.standard_normal(p.shape), jnp.float32
+        ).astype(jnp.bfloat16),  # split-update handoff dtype
+        params,
+    )
+
+    for mdt, atol in ((None, 1e-7), ("bfloat16", 1e-7), ("int8", 6e-4)):
+        outs = []
+        for chunk in (None, 0.07):  # 0.07MB forces per-layer chunking
+            tx = scale_by_muon(
+                0.01, weight_decay=0.01, momentum_dtype=mdt,
+                chunk_temp_mb=chunk,
+            )
+            st = tx.init(params)
+            u1, st = tx.update(grads, st, params)
+            u2, st = tx.update(grads, st, params)
+            outs.append((u1, u2))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(outs[0]),
+            jax.tree_util.tree_leaves(outs[1]),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=atol,
+                err_msg=f"momentum_dtype={mdt}",
+            )
+
+
+def test_muon_partition_fused_apply_matches_update():
+    """The Muon+aux one-pass fused_apply (what the split-update and ZeRO
+    program tails run) must produce the same parameters and state as the
+    two-phase tx.update + optax.apply_updates."""
+    import numpy as np
+
+    from whisper_finetune_tpu.optim import get_optimizer
+
+    rng = np.random.default_rng(7)
+    params = {
+        "encoder": {"blocks": {
+            "w": jnp.asarray(rng.standard_normal((4, 64, 256)) * 0.1, jnp.float32),
+            "b": jnp.asarray(rng.standard_normal((4, 256)) * 0.1, jnp.float32),
+        }},
+        "decoder": {"tok_emb": jnp.asarray(
+            rng.standard_normal((512, 64)) * 0.1, jnp.float32)},
+    }
+    for aux_8bit in (False, True):
+        conf = {
+            "type": "adamw", "muon": True, "8bit": True,
+            "muon_params": {"lr": 0.01, "momentum": 0.95, "weight_decay": 0.01},
+            "params": {"lr": 1e-3, "weight_decay": 0.01,
+                       "betas": [0.9, 0.98], "eps": 1e-6},
+            "muon_momentum_dtype": "int8",
+            "muon_aux_8bit": aux_8bit,
+        }
+        tx, _ = get_optimizer(params, conf)
+        assert getattr(tx, "lazy_grad_cast", False)
+        grads = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(
+                rng.standard_normal(p.shape), jnp.float32
+            ).astype(jnp.bfloat16),
+            params,
+        )
+        st_a = st_b = tx.init(params)
+        p_a = p_b = params
+        for _ in range(2):
+            # two-phase reference walk (per-leaf fp32 upcast inside)
+            upd, st_a = tx.update(grads, st_a, p_a)
+            p_a = optax.apply_updates(p_a, upd)
+            # one-pass
+            p_b, st_b = tx.fused_apply(grads, st_b, p_b, g_scale=None)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p_a), jax.tree_util.tree_leaves(p_b)
+        ):
+            # 8-bit aux requantization can flip a code by one LSB between
+            # the two compilations (scale rounding), worth ~1e-5 on params
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-5,
+                err_msg=f"aux_8bit={aux_8bit}",
+            )
+        sa = jax.tree_util.tree_leaves(st_a)
+        sb = jax.tree_util.tree_leaves(st_b)
+        assert len(sa) == len(sb)
+        for a, b in zip(sa, sb):
+            a, b = np.asarray(a), np.asarray(b)
+            atol = 1.001 if a.dtype.kind in "iu" else 1e-5  # codes: ±1 LSB
+            np.testing.assert_allclose(
+                a.astype(np.float32), b.astype(np.float32),
+                atol=atol, err_msg=f"state aux_8bit={aux_8bit}",
+            )
+
+        # g_scale parity: fused with g_scale == update on pre-scaled grads
+        scaled = jax.tree_util.tree_map(
+            lambda g: (g.astype(jnp.float32) * 0.5).astype(g.dtype), grads
+        )
+        st0 = tx.init(params)
+        upd, st_c = tx.update(scaled, st0, params)
+        p_c = optax.apply_updates(params, upd)
+        p_d, st_d = tx.fused_apply(
+            grads, tx.init(params), params, g_scale=jnp.float32(0.5)
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p_c), jax.tree_util.tree_leaves(p_d)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-5,
+                err_msg=f"g_scale aux_8bit={aux_8bit}",
+            )

@@ -482,3 +482,83 @@ def test_grad_histograms_watch_parity():
         np.testing.assert_allclose(hr, hz, rtol=1e-5)
         # identical ranges and (up to fp-boundary jitter) identical counts
         assert int(abs(cr.astype(np.int64) - cz.astype(np.int64)).sum()) <= 2, name
+
+
+def test_split_update_matches_single_program():
+    """split_update=True (separate accum and optimizer-update programs — the
+    single-chip Muon memory fit) must produce the same parameters and loss
+    as the fused single-program step."""
+    from whisper_finetune_tpu.optim import get_optimizer
+
+    mesh = get_data_mesh()
+    n_dev = mesh.devices.size
+    dims = DIMS.replace(n_audio_layer=n_dev, n_text_layer=2)
+    conf = {
+        "type": "adamw", "muon": True, "8bit": False,
+        "muon_params": {"lr": 0.01, "momentum": 0.95},
+        "params": {"lr": 1e-3},
+        "muon_momentum_dtype": "int8",
+    }
+    fcfg_det = ForwardConfig(compute_dtype="float32", stochastic_depth=0.0)
+
+    def mk(split, max_grad_norm):
+        # fresh param buffers per step mode — the steps donate their state
+        params = init_params(jax.random.PRNGKey(0), dims)
+        trainable, frozen = partition_params(params, None)
+        opt, _ = get_optimizer(
+            trainable, conf, data_shard_axis="data", data_axis_size=n_dev
+        )
+        state = TrainState(
+            trainable, frozen, opt.init(trainable), jnp.zeros((), jnp.int32)
+        )
+        step = make_train_step(
+            mesh, dims, fcfg_det, opt, max_grad_norm=max_grad_norm,
+            accum_dtype="bfloat16", split_update=split,
+        )
+        return step, state
+
+    rng = np.random.default_rng(3)
+    batch = shard_batch(mesh, {
+        "mel": jnp.asarray(rng.standard_normal(
+            (2, 8, dims.n_mels, dims.n_audio_ctx * 2)).astype(np.float32)),
+        "dec_input": jnp.asarray(
+            rng.integers(0, dims.n_vocab, (2, 8, dims.n_text_ctx)).astype(np.int32)),
+        "dec_output": jnp.asarray(
+            rng.integers(0, dims.n_vocab, (2, 8, dims.n_text_ctx)).astype(np.int32)),
+    })
+
+    # Without clipping the two modes are numerically identical (the bf16
+    # handoff rounding exists in both; the fp32 upcast is exact).
+    step_one, state_one = mk(False, None)
+    step_two, state_two = mk(True, None)
+    for _ in range(2):
+        state_one, loss_one = step_one(state_one, batch, jax.random.PRNGKey(1))
+        state_two, loss_two = step_two(state_two, batch, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(loss_one), float(loss_two), rtol=1e-6)
+    a = jax.tree_util.tree_leaves(state_one.trainable)
+    b = jax.tree_util.tree_leaves(state_two.trainable)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), atol=1e-6,
+            err_msg="split-update parameters diverged from single-program",
+        )
+    assert int(state_two.step) == 2
+
+    # With clipping: both modes compute the clip factor the same way (fp32
+    # norm of the raw sums, folded with the mean divisor into the g_scale
+    # scalar — reduce_sums), so trajectories agree up to cross-program
+    # reduction-order jitter.
+    step_one, state_one = mk(False, 0.5)
+    step_two, state_two = mk(True, 0.5)
+    for _ in range(2):
+        state_one, loss_one = step_one(state_one, batch, jax.random.PRNGKey(1))
+        state_two, loss_two = step_two(state_two, batch, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(loss_one), float(loss_two), rtol=1e-5)
+    for x, y in zip(
+        jax.tree_util.tree_leaves(state_one.trainable),
+        jax.tree_util.tree_leaves(state_two.trainable),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), atol=1e-5,
+            err_msg="split-update clipped trajectory drifted",
+        )

@@ -95,6 +95,18 @@ _TRAINING_DEFAULTS: Dict[str, Any] = {
     # Extension: reduced-precision gradient accumulator ("bfloat16" halves
     # the full-gradient HBM tree; None keeps fp32).
     "grad_accum_dtype": None,
+    # Extension: compile the optimizer update as its own program instead of
+    # fusing it into the accumulation step. "auto" enables it for Muon
+    # (whose per-leaf fp32 Newton-Schulz temps otherwise coexist with the
+    # fwd/bwd workspace — the single-chip large-v3 OOM); true/false force.
+    "split_optimizer_step": "auto",
+    # Extension: hand-written gradient-accumulating backward
+    # (train/manual_grad.py) — merges the per-microbatch cotangent tree and
+    # the gradient accumulator into one donated buffer, the memory shape
+    # that fits full-model split-update training with real accum_grad_steps
+    # on a 16 GB chip. "auto" enables it when split_optimizer_step is
+    # active and the whole tree trains (no LoRA / train_only_*).
+    "manual_backward": "auto",
     # Extension: attention implementation. "auto" (default) picks the
     # measured-fastest per-site mix for the platform (splash Pallas kernels
     # for encoder self-attention on TPU, XLA everywhere else and off-TPU);
@@ -151,6 +163,10 @@ _OPTIMIZER_DEFAULTS: Dict[str, Any] = {
     "muon_ns_coeffs": "classic",
     # Extension: blockwise 8-bit state for the auxiliary AdamW leaves.
     "muon_aux_8bit": False,
+    # Extension: bound (MB) on the fp32 working set of one Muon leaf update;
+    # stacked leaves past it are processed as a lax.scan over layer-axis
+    # slices (optim/muon.py chunk_temp_mb). null disables chunking.
+    "muon_chunk_temp_mb": 128.0,
     "params": {},
 }
 
@@ -228,6 +244,17 @@ def validate_config(config: Dict[str, Any]) -> Dict[str, Any]:
         raise ValueError(
             "gradient_checkpointing_encoder_last_only is not supported when "
             "gradient_checkpointing_encoder is enabled"
+        )
+
+    if tr["split_optimizer_step"] not in ("auto", True, False):
+        raise ValueError(
+            "training.split_optimizer_step must be 'auto', true, or false, "
+            f"got {tr['split_optimizer_step']!r}"
+        )
+    if tr["manual_backward"] not in ("auto", True, False):
+        raise ValueError(
+            "training.manual_backward must be 'auto', true, or false, "
+            f"got {tr['manual_backward']!r}"
         )
 
     opt = out["optimizer"]

@@ -475,6 +475,40 @@ def _cast_blocks_once(blocks: Params, fcfg: ForwardConfig, train: bool) -> Param
     )
 
 
+def _cast_block_slice(bp: Params, x, fcfg: ForwardConfig, train: bool):
+    """The ``precast_weights=False`` counterpart of :func:`_cast_blocks_once`:
+    cast ONE layer's weight matrices to the compute dtype *inside* the scan
+    body, behind an ``optimization_barrier`` tied to the carry.
+
+    The barrier is the load-bearing part: without it XLA rewrites
+    ``convert(dynamic_slice(W, i))`` into ``dynamic_slice(convert(W), i)``
+    and hoists the convert out of the loop, materializing the full bf16
+    tree anyway (measured on large-v3: 17.7 GB used — *more* than
+    precasting). Barriered, only one layer's bf16 slices (~90-180 MB) are
+    ever live, trading the 2.9 GB resident shadow for re-reading fp32
+    weights each pass (~+10 ms/microbatch at the measured 276 GB/s) — the
+    difference between fitting and OOMing the split-update Muon flagship's
+    accumulation program on one 16 GB chip. Same numerics and the same
+    leaf set (the ndim>=2 matrices ``_dense`` casts at use) as
+    :func:`_cast_blocks_once`."""
+    dtype = fcfg.dtype
+    if (
+        not train
+        or fcfg.precast_weights
+        or fcfg.lora_scale
+        or dtype == jnp.float32
+    ):
+        return bp, x
+    bp, x = jax.lax.optimization_barrier((bp, x))
+    bp = jax.tree_util.tree_map(
+        lambda a: a.astype(dtype)
+        if (a.dtype == jnp.float32 and a.ndim >= 2)  # per-layer (in, out)
+        else a,
+        bp,
+    )
+    return bp, x
+
+
 def _stochastic_wrap(x, run_block, sd_key, p: float, train: bool):
     """Reference stochastic-depth semantics (model_utils.py:226-250): with
     probability p skip the block entirely; otherwise rescale the residual
@@ -540,6 +574,7 @@ def encoder_forward(
 
     def body(x, scanned):
         bp, keys, flag = scanned
+        bp, x = _cast_block_slice(bp, x, fcfg, train)
         dsa_on = jnp.logical_and(dsa_gate, flag)
         if fcfg.lora_scale:
             from whisper_finetune_tpu.models.lora import materialize_block_lora
@@ -597,6 +632,7 @@ def decoder_forward(
 
     def body(x, scanned):
         bp, keys = scanned
+        bp, x = _cast_block_slice(bp, x, fcfg, train)
         if fcfg.lora_scale:
             from whisper_finetune_tpu.models.lora import materialize_block_lora
 

@@ -142,6 +142,7 @@ def scale_by_muon(
     shard_axis: Optional[str] = None,
     shard_axis_size: int = 1,
     momentum_dtype: Optional[str] = None,
+    chunk_temp_mb: Optional[float] = 128.0,
 ) -> optax.GradientTransformation:
     """Muon as an optax GradientTransformation over a tree of matrix params.
 
@@ -168,9 +169,22 @@ def scale_by_muon(
     the full large-v3 Muon flagship fits a single 16GB chip (measured:
     fp32 momentum overflows HBM by 1.8GB at batch 6; bf16 fits but leaves
     XLA so little headroom that the in-step update schedule collapses).
+
+    ``chunk_temp_mb`` bounds the fp32 working set of one leaf's update: a
+    stacked leaf whose whole-leaf fp32 temporaries would exceed the bound
+    is processed by a ``lax.scan`` over slices of the layer axis (momentum
+    dequant + NS + update per slice), so only one slice's temporaries are
+    ever live. On large-v3 the (32, 1280, 5120) MLP leaves otherwise pin
+    ~3.4 GB of fp32 temps each (g, m, upd, update out) — the difference
+    between fitting and OOMing the one-chip update program. ``None``
+    disables chunking. Numerics are unchanged: the int8 block grid (256
+    elements, quantized.py BLOCK) aligns with every whisper matrix size,
+    so per-slice quantization reproduces the whole-leaf blocks exactly.
     """
     from whisper_finetune_tpu.optim.quantized import (
+        BLOCK,
         MIN_QUANT_SIZE,
+        FusedGradientTransformation,
         _QMoment,
         dequantize_blockwise,
         quantize_blockwise,
@@ -205,9 +219,13 @@ def scale_by_muon(
         mom = jax.tree_util.tree_map(_mom_zero, params)
         return MuonState(count=jnp.zeros((), jnp.int32), momentum=mom)
 
-    def update_fn(grads, state, params=None):
-        if params is None:
-            raise ValueError("scale_by_muon requires params (for weight decay)")
+    def _walk(grads, state, params, g_scale, apply):
+        """Shared per-leaf walk. ``apply=False`` returns optax updates;
+        ``apply=True`` returns updated parameters directly (``p + update``
+        computed per leaf, so no whole-tree fp32 updates buffer ever exists
+        — measured 5.4 GB of XLA temps on large-v3 when the updates tree
+        is handed to ``optax.apply_updates`` as a second phase, the
+        difference between fitting and OOMing one 16 GB chip)."""
         count = state.count + 1
         lr = learning_rate(state.count) if callable(learning_rate) else learning_rate
 
@@ -215,8 +233,16 @@ def scale_by_muon(
         flat_m = treedef.flatten_up_to(state.momentum)
         flat_p = treedef.flatten_up_to(params)
 
-        new_updates, new_mom = [], []
-        for g, m_s, p in zip(flat_g, flat_m, flat_p):
+        def leaf_math(g, m_s, p, shape):
+            """fp32 momentum + Newton-Schulz + update for one leaf (or one
+            layer-axis slice of a chunked leaf)."""
+            # Upcast HERE (post-barrier, per slice): grads may arrive in the
+            # train step's bf16 accumulator dtype (split-update handoff),
+            # and a pre-loop whole-tree cast would hoist above the barriers
+            # and materialize every leaf's fp32 copy at once.
+            g = g.astype(jnp.float32)
+            if g_scale is not None:
+                g = g * g_scale
             m = momentum * _mom_load(m_s, g) + g
             upd = g + momentum * m if nesterov else m
             if (
@@ -236,7 +262,6 @@ def scale_by_muon(
                 o = newton_schulz_orthogonalize(
                     upd, steps=ns_steps, coeffs=ns_coeffs
                 )
-            shape = matrix_shape(g)
             scale = muon_shape_scale(shape)
             eff_lr = lr * (
                 rms_match_scale(shape, match_factor)
@@ -245,11 +270,102 @@ def scale_by_muon(
             )
             # Decoupled decay: wd is divided by the rms scale in the
             # reference groups, so lr_g * wd_g == lr * wd regardless.
-            new_updates.append(-(eff_lr * scale) * o - (lr * weight_decay) * p)
-            new_mom.append(_mom_store(m, m_s))
+            upd = -(eff_lr * scale) * o - (lr * weight_decay) * p
+            return (p + upd if apply else upd), _mom_store(m, m_s)
 
-        updates = jax.tree_util.tree_unflatten(treedef, new_updates)
+        max_chunk_elems = (
+            None if chunk_temp_mb is None else int(chunk_temp_mb * 1e6 / 4)
+        )
+
+        new_updates, new_mom = [], []
+        for g, m_s, p in zip(flat_g, flat_m, flat_p):
+            if new_updates:
+                # Serialize per-leaf updates: tie this leaf's gradient to the
+                # previous leaf's outputs (update AND stored momentum) with an
+                # optimization barrier. Without it XLA schedules every leaf's
+                # fp32 momentum-dequantize/NS temps concurrently — on
+                # large-v3 that is several 800 MB live buffers at once, which
+                # blows the 16 GB single-chip fit (measured: +511 MB OOM with
+                # 2.1 GB of fragmentation) and forces a spill-heavy schedule.
+                # Chained, only one leaf's temps are live at a time.
+                g, _ = jax.lax.optimization_barrier(
+                    (g, (new_updates[-1], new_mom[-1]))
+                )
+            shape = matrix_shape(g)
+            sharded_leaf = (
+                shard_axis is not None
+                and shard_axis_size > 1
+                and g.ndim >= 3
+                and g.shape[0] % shard_axis_size == 0
+            )
+            per_layer = 1
+            for d in shape:
+                per_layer *= d
+            layers_per_chunk = None
+            if (
+                max_chunk_elems is not None
+                and stacked
+                and not sharded_leaf
+                and g.ndim >= 3
+                and g.shape[0] * per_layer > max_chunk_elems
+                and per_layer % BLOCK == 0
+            ):
+                layers_per_chunk = max(
+                    1, min(g.shape[0], max_chunk_elems // per_layer)
+                )
+                while g.shape[0] % layers_per_chunk:
+                    layers_per_chunk -= 1
+            if layers_per_chunk is not None and layers_per_chunk < g.shape[0]:
+                L = g.shape[0]
+                n_chunk = L // layers_per_chunk
+                g_c = g.reshape(n_chunk, layers_per_chunk, *g.shape[1:])
+                p_c = p.reshape(n_chunk, layers_per_chunk, *p.shape[1:])
+                if isinstance(m_s, _QMoment):
+                    nb = m_s.codes.shape[0]
+                    m_c = _QMoment(
+                        m_s.codes.reshape(n_chunk, nb // n_chunk, BLOCK),
+                        m_s.scale.reshape(n_chunk, nb // n_chunk, 1),
+                    )
+                else:
+                    m_c = m_s.reshape(n_chunk, layers_per_chunk, *m_s.shape[1:])
+
+                def chunk_body(carry, xs, shape=shape):
+                    g_i, m_i, p_i = xs
+                    u_i, nm_i = leaf_math(g_i, m_i, p_i, shape)
+                    return carry, (u_i, nm_i)
+
+                _, (u_c, nm_c) = jax.lax.scan(chunk_body, (), (g_c, m_c, p_c))
+                new_updates.append(u_c.reshape(L, *g.shape[1:]))
+                if isinstance(m_s, _QMoment):
+                    new_mom.append(
+                        _QMoment(
+                            nm_c.codes.reshape(-1, BLOCK),
+                            nm_c.scale.reshape(-1, 1),
+                        )
+                    )
+                else:
+                    new_mom.append(nm_c.reshape(L, *m_s.shape[1:]))
+            else:
+                u, nm = leaf_math(g, m_s, p, shape)
+                new_updates.append(u)
+                new_mom.append(nm)
+
+        outs = jax.tree_util.tree_unflatten(treedef, new_updates)
         mom = jax.tree_util.tree_unflatten(treedef, new_mom)
-        return updates, MuonState(count=count, momentum=mom)
+        return outs, MuonState(count=count, momentum=mom)
 
-    return optax.GradientTransformation(init_fn, update_fn)
+    def update_fn(grads, state, params=None):
+        if params is None:
+            raise ValueError("scale_by_muon requires params (for weight decay)")
+        return _walk(grads, state, params, g_scale=None, apply=False)
+
+    def fused_apply(grads, state, params, g_scale=None):
+        """One-pass update + apply (``FusedGradientTransformation``
+        protocol): returns (new_params, new_state). Identical math to
+        ``update_fn`` + ``optax.apply_updates`` — the per-leaf ``p + upd``
+        is the same expression — but each leaf's fp32 update is consumed
+        by its own apply before the next leaf starts, bounding XLA temps
+        to one (chunked) leaf pipeline."""
+        return _walk(grads, state, params, g_scale=g_scale, apply=True)
+
+    return FusedGradientTransformation(init_fn, update_fn, fused_apply)

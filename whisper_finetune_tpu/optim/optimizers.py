@@ -29,7 +29,7 @@ whole optimizer (schedule included) lives inside the one jitted train step.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, List, Optional, Tuple, Union
+from typing import Any, Callable, Dict, List, NamedTuple, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +38,130 @@ import optax
 from whisper_finetune_tpu.optim.muon import rms_match_scale, scale_by_muon
 
 Schedule = Callable[[jnp.ndarray], jnp.ndarray]
+
+
+class LazyCastGradientTransformation(optax.GradientTransformation):
+    """optax pair flagged ``lazy_grad_cast``: its update accepts gradients in
+    a reduced dtype (the train step's bf16 accumulator) and upcasts to fp32
+    per leaf internally — inside scale_by_muon's serialization barriers for
+    the big matrices, so no whole-tree fp32 gradient copy is ever live. The
+    split-update train step checks this flag before eagerly casting."""
+
+    @property
+    def lazy_grad_cast(self) -> bool:
+        return True
+
+
+class LazyCastFusedTransformation(NamedTuple):
+    """``FusedGradientTransformation`` (init/update/fused_apply) that is also
+    flagged ``lazy_grad_cast`` (see LazyCastGradientTransformation)."""
+
+    init: Any
+    update: Any
+    fused_apply: Any
+
+    @property
+    def lazy_grad_cast(self) -> bool:
+        return True
+
+
+def _cast_grads_fp32() -> optax.GradientTransformation:
+    """Per-leaf fp32 upcast as a chainable transform (for the auxiliary
+    AdamW leaves, which are small enough that their casts can all coexist).
+    Tolerates optax.masked's MaskedNode placeholder leaves."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        out = jax.tree_util.tree_map(
+            lambda g: g.astype(jnp.float32) if hasattr(g, "astype") else g,
+            updates,
+        )
+        return out, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def _make_muon_partition_fused_apply(labels, muon_tx, aux_tx):
+    """One-pass ``fused_apply(grads, state, params, g_scale)`` for the
+    Muon + auxiliary-AdamW partition (state layout:
+    ``PartitionState(inner_states={"muon": MaskedState(MuonState),
+    "adamw": MaskedState((cast EmptyState, aux state))})``).
+
+    Each label's leaves are walked with the OTHER label's positions masked
+    out (``optax.MaskedNode`` flattens to nothing — the same mechanism
+    ``optax.multi_transform`` itself routes with), the per-label one-pass
+    appliers produce new parameters directly, and the results are merged
+    back by label. Math identical to ``tx.update`` + ``apply_updates``;
+    the difference is purely peak memory (no whole-tree fp32 updates
+    buffer — measured 5.4 GB of XLA temps on large-v3)."""
+    masked_node = optax.MaskedNode()
+
+    def mask_for(want, tree):
+        return jax.tree_util.tree_map(
+            lambda lab, leaf: leaf if lab == want else masked_node,
+            labels,
+            tree,
+        )
+
+    aux_fused = getattr(aux_tx, "fused_apply", None)
+
+    def fused_apply(grads, state, params, g_scale=None):
+        inner = state.inner_states
+        m_masked, a_masked = inner["muon"], inner["adamw"]
+
+        new_pm, new_mstate = muon_tx.fused_apply(
+            mask_for("muon", grads),
+            m_masked.inner_state,
+            mask_for("muon", params),
+            g_scale=g_scale,
+        )
+
+        aux_g = mask_for("adamw", grads)
+        aux_p = mask_for("adamw", params)
+        cast_state, aux_state = a_masked.inner_state
+        if aux_fused is not None:
+            new_pa, new_aux_state = aux_fused(
+                aux_g, aux_state, aux_p, g_scale=g_scale
+            )
+        else:
+            # Unfused aux (fp32 moments): the aux tree is small (embeddings
+            # + vectors), so the two-phase update+apply is fine here.
+            g32 = jax.tree_util.tree_map(
+                lambda g: (
+                    g.astype(jnp.float32) * (1.0 if g_scale is None else g_scale)
+                    if hasattr(g, "astype")
+                    else g
+                ),
+                aux_g,
+            )
+            upd, new_aux_state = aux_tx.update(g32, aux_state, aux_p)
+            new_pa = optax.apply_updates(aux_p, upd)
+
+        lab_flat, lab_td = jax.tree_util.tree_flatten(labels)
+        pm_flat = lab_td.flatten_up_to(new_pm)
+        pa_flat = lab_td.flatten_up_to(new_pa)
+        new_params = jax.tree_util.tree_unflatten(
+            lab_td,
+            [
+                pm if lab == "muon" else pa
+                for lab, pm, pa in zip(lab_flat, pm_flat, pa_flat)
+            ],
+        )
+        new_state = state._replace(
+            inner_states={
+                "muon": m_masked._replace(inner_state=new_mstate),
+                "adamw": a_masked._replace(
+                    inner_state=(cast_state, new_aux_state)
+                ),
+            }
+        )
+        return new_params, new_state
+
+    return fused_apply
 
 
 def _scheduled_lr(base_lr: float, schedule: Optional[Schedule]):
@@ -206,30 +330,49 @@ def get_optimizer(
         ns_steps = int(optimizer_conf.get("muon_ns_steps", 5))
         ns_coeffs = str(optimizer_conf.get("muon_ns_coeffs", "classic"))
         labels = muon_param_labels(trainable_params, ndim_threshold)
+        muon_tx = scale_by_muon(
+            learning_rate=_scheduled_lr(muon_lr, schedule),
+            momentum=muon_momentum,
+            weight_decay=muon_wd,
+            ns_steps=ns_steps,
+            ns_coeffs=ns_coeffs,
+            match_adamw_update_rms=match,
+            match_factor=factor,
+            shard_axis=data_shard_axis,
+            shard_axis_size=data_axis_size,
+            # extension: compressed momentum buffer ("bfloat16" or
+            # blockwise "int8"); state size decides whether full
+            # large-v3 Muon fits a 16GB chip with HBM headroom
+            momentum_dtype=optimizer_conf.get("muon_momentum_dtype"),
+            # extension: bound on one leaf-update's fp32 working set
+            # (layer-axis chunked scan past it, optim/muon.py)
+            chunk_temp_mb=optimizer_conf.get("muon_chunk_temp_mb", 128.0),
+        )
+        # extension: 8-bit auxiliary AdamW state (embeddings are the
+        # bulk of the aux leaves — ~0.9GB fp32 moments on large-v3).
+        # The fp32 pre-cast makes the aux math independent of the
+        # incoming gradient dtype (bf16 under split-update).
+        aux_tx = _adam_like(
+            adamw_conf, schedule, decoupled=True, use_8bit=aux_8bit
+        )
         tx = optax.multi_transform(
             {
-                "muon": scale_by_muon(
-                    learning_rate=_scheduled_lr(muon_lr, schedule),
-                    momentum=muon_momentum,
-                    weight_decay=muon_wd,
-                    ns_steps=ns_steps,
-                    ns_coeffs=ns_coeffs,
-                    match_adamw_update_rms=match,
-                    match_factor=factor,
-                    shard_axis=data_shard_axis,
-                    shard_axis_size=data_axis_size,
-                    # extension: compressed momentum buffer ("bfloat16" or
-                    # blockwise "int8"); state size decides whether full
-                    # large-v3 Muon fits a 16GB chip with HBM headroom
-                    momentum_dtype=optimizer_conf.get("muon_momentum_dtype"),
-                ),
-                # extension: 8-bit auxiliary AdamW state (embeddings are the
-                # bulk of the aux leaves — ~0.9GB fp32 moments on large-v3)
-                "adamw": _adam_like(
-                    adamw_conf, schedule, decoupled=True, use_8bit=aux_8bit
-                ),
+                "muon": muon_tx,
+                "adamw": optax.chain(_cast_grads_fp32(), aux_tx),
             },
             labels,
+        )
+        # Muon handles reduced-dtype grads itself (per-leaf upcast behind
+        # its serialization barriers); flag the pair so the split-update
+        # train step skips the whole-tree eager fp32 cast — and give the
+        # pair a one-pass ``fused_apply`` so the optimizer tail never
+        # materializes the whole fp32 updates tree (OOM-decisive on the
+        # one-chip large-v3 Muon flagship, and what keeps the v5e-8 ZeRO
+        # configs on the one-pass update path).
+        tx = LazyCastFusedTransformation(
+            tx.init,
+            tx.update,
+            _make_muon_partition_fused_apply(labels, muon_tx, aux_tx),
         )
         metadata = _muon_bucket_metadata(
             trainable_params, labels, muon_lr, match, factor

@@ -84,6 +84,7 @@ from whisper_finetune_tpu.train.step import (
     shard_batch,
 )
 from whisper_finetune_tpu.utils import (
+    apply_platform_env,
     calculate_training_steps,
     calculate_val_steps,
     get_unique_base_path,
@@ -856,6 +857,24 @@ def main(config: Dict) -> None:
             f"Resumed training state from {config['training']['resume_from']} "
             f"at step {int(jax.device_get(state.step))}"
         )
+    split_update = config["training"].get("split_optimizer_step", "auto")
+    if split_update == "auto":
+        # Muon's per-leaf fp32 Newton-Schulz temps don't fit next to the
+        # fwd/bwd workspace in one program on 16 GB chips; everything else
+        # keeps the single fused program (one dispatch, fused clip/update).
+        split_update = bool(config["optimizer"].get("muon"))
+    full_tree = all(jax.tree_util.tree_leaves(trainable_mask)) and not lora_mask
+    manual_backward = config["training"].get("manual_backward", "auto")
+    if manual_backward == "auto":
+        # The hand-written accumulating backward (train/manual_grad.py) is
+        # what fits full-model split-update training with real
+        # accum_grad_steps on a 16 GB chip; it only supports the full tree.
+        manual_backward = bool(split_update) and full_tree and not zero_shard
+    elif manual_backward and not (split_update and full_tree):
+        raise ValueError(
+            "training.manual_backward=true requires split_optimizer_step "
+            "and full fine-tuning (no LoRA / train_only_*)"
+        )
     step_fn = make_train_step(
         mesh,
         dims,
@@ -868,6 +887,8 @@ def main(config: Dict) -> None:
         zero_opt_state=state.opt_state if zero_shard else None,
         accum_dtype=config["training"].get("grad_accum_dtype"),
         grad_hist_every=int(config["training"]["val_steps"]),
+        split_update=bool(split_update),
+        manual_backward=bool(manual_backward),
     )
     eval_step = make_eval_step(dims, fcfg, n_mels=dims.n_mels)
 
@@ -912,6 +933,7 @@ def main(config: Dict) -> None:
 def cli() -> None:
     import argparse
 
+    apply_platform_env()
     parser = argparse.ArgumentParser(description="Script Configuration")
     parser.add_argument("--config", type=str, required=True, help="Path to the configuration YAML file")
     args = parser.parse_args()

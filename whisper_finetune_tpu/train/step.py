@@ -235,6 +235,8 @@ def make_train_step(
     accum_dtype: Optional[str] = None,
     grad_hist_every: Optional[int] = None,
     grad_hist_bins: int = 64,
+    split_update: bool = False,
+    manual_backward: bool = False,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray], jnp.ndarray], tuple]:
     """Build the jitted data-parallel train step.
 
@@ -283,6 +285,26 @@ def make_train_step(
         return cross_entropy_loss(logits, mb["dec_output"], label_smoothing)
 
     grad_fn = jax.value_and_grad(loss_fn)
+    # Hand-written gradient-accumulating backward (train/manual_grad.py):
+    # merges the per-microbatch cotangent tree and the gradient-sum buffer
+    # into the one donated accumulator — the param-shaped-buffer diet that
+    # fits the full large-v3 Muon flagship with real accum_grad_steps on a
+    # 16 GB chip. Split mode only (it accumulates into the donated buffer);
+    # full fine-tuning only (no frozen leaves / LoRA).
+    manual_acc = None
+    if manual_backward:
+        if not split_update:
+            raise ValueError("manual_backward requires split_update=True")
+        from whisper_finetune_tpu.train.manual_grad import make_manual_accumulator
+
+        manual_acc = make_manual_accumulator(
+            dims,
+            fcfg,
+            lambda logits, targets: cross_entropy_loss(
+                logits, targets, label_smoothing
+            ),
+            feat_cfg=feat_cfg,
+        )
     # One-pass fused update (adamw_8bit's Pallas kernel), used on the full
     # tree single-mesh and on each device's shard under ZeRO-1.
     fused_apply = getattr(tx, "fused_apply", None)
@@ -292,14 +314,37 @@ def make_train_step(
         else ("mel", "dec_input", "dec_output")
     )
 
-    def device_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jnp.ndarray):
-        # Per-device view: batch leaves (accum_local, local_B, ...).
+    def accumulate(
+        state: TrainState,
+        batch: Dict[str, jnp.ndarray],
+        rng: jnp.ndarray,
+        grad_buf=None,
+    ):
+        """Scan the local microbatches; returns the per-device gradient sum
+        (accumulator dtype) and the synchronized mean loss.
+
+        ``grad_buf`` (optional) is a DONATED gradient-shaped tree whose
+        content is dead: the accumulator carry initializes by zeroing it in
+        place, so the scan runs inside the donated allocation and the final
+        sums alias straight into the program output. Without it the carry
+        and the output are two separate full-gradient allocations — the
+        2.9 GB that decides whether the split-update accum program fits a
+        16 GB chip next to the resident optimizer state."""
         accum_local = batch[data_keys[0]].shape[0]
         dev_rng = jax.random.fold_in(
             jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS)),
             state.step,
         )
         micro_rngs = jax.random.split(dev_rng, accum_local)
+
+        if manual_acc is not None and grad_buf is not None:
+            # Manual reverse-scan backward accumulating into the donated
+            # buffer; requires the full tree (no frozen leaves).
+            grad_sum, loss_sum = manual_acc(
+                state.trainable, batch, micro_rngs, grad_buf
+            )
+            loss = jax.lax.pmean(loss_sum / accum_local, DATA_AXIS)
+            return grad_sum, accum_local, loss
 
         # Optional reduced-precision gradient accumulator: halves the full
         # gradient tree in HBM (what gates single-chip full-model training);
@@ -314,13 +359,35 @@ def make_train_step(
             loss_sum, grads = grad_fn(
                 state.trainable, state.frozen, mb, micro_rngs[0]
             )
-            grad_sum = jax.tree_util.tree_map(
-                lambda g: g.astype(acc_dt) if acc_dt else g, grads
-            )
+            if grad_buf is not None:
+                # The donated buffer arrives PRE-ZEROED (split_step's
+                # zero_buf program), so adding it routes the casts into the
+                # donated allocation without changing the values — and XLA
+                # cannot fold the add away because the zeros are runtime
+                # data, keeping the dataflow (and with it the in-place
+                # buffer reuse) intact.
+                grad_sum = jax.tree_util.tree_map(
+                    lambda b, g: b + (g.astype(acc_dt) if acc_dt else g),
+                    grad_buf,
+                    grads,
+                )
+            else:
+                grad_sum = jax.tree_util.tree_map(
+                    lambda g: g.astype(acc_dt) if acc_dt else g, grads
+                )
         else:
-            zero_grads = jax.tree_util.tree_map(
-                lambda p: jnp.zeros(p.shape, acc_dt or p.dtype), state.trainable
-            )
+            if grad_buf is not None:
+                # The donated buffer arrives PRE-ZEROED (split_step zeroes
+                # it in place in a separate tiny program after each update)
+                # and becomes the scan carry directly — the straightest
+                # dataflow for XLA to run the accumulation loop inside the
+                # donated allocation and alias the final sums out.
+                zero_grads = grad_buf
+            else:
+                zero_grads = jax.tree_util.tree_map(
+                    lambda p: jnp.zeros(p.shape, acc_dt or p.dtype),
+                    state.trainable,
+                )
 
             def micro(carry, xs):
                 grad_sum, loss_sum = carry
@@ -340,6 +407,52 @@ def make_train_step(
             )
 
         loss = jax.lax.pmean(loss_sum / accum_local, DATA_AXIS)
+        return grad_sum, accum_local, loss
+
+    def reduce_sums(grad_sum, accum_local):
+        """Cross-device reduction of the per-device gradient sums plus the
+        fp32 scalar that turns sums into clipped means. The sums stay in the
+        accumulator dtype UNTOUCHED on one device — the returned tree IS the
+        scan carry, so no elementwise mean/clip pass over the full tree ever
+        runs (in split mode the carry aliases straight into the accum
+        program's output; the extra 2.9 GB live copy such a pass costs is
+        what OOM'd the large-v3 Muon flagship). The mean divisor and the
+        reference's clip_grad_norm factor (model_utils.py:107) both ride in
+        the single returned scalar, applied in fp32 inside the fused update
+        kernels."""
+        if n_dev > 1:
+            grad_sum = jax.tree_util.tree_map(
+                lambda g: jax.lax.psum(g, DATA_AXIS), grad_sum
+            )
+        scale = jnp.float32(1.0) / (accum_local * n_dev)
+        if max_grad_norm is not None:
+            gnorm = (
+                jnp.sqrt(
+                    sum(
+                        jnp.sum(jnp.square(g.astype(jnp.float32)))
+                        for g in jax.tree_util.tree_leaves(grad_sum)
+                    )
+                )
+                * scale
+            )
+            clip = jnp.minimum(1.0, max_grad_norm / (gnorm + 1e-6))
+            return grad_sum, scale * clip, scale
+        return grad_sum, scale, scale
+
+    def scale_hist_ranges(hists, scale):
+        # Histograms are computed on the raw gradient SUMS (no materialized
+        # mean tree); counts are invariant under a positive scalar scale, so
+        # multiplying the (lo, hi) ranges by 1/denominator yields exactly
+        # the histograms of the mean gradients wandb.watch would log.
+        return {
+            name: (c, lo * scale, hi * scale)
+            for name, (c, lo, hi) in hists.items()
+        }
+
+    def device_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jnp.ndarray):
+        # Per-device view: batch leaves (accum_local, local_B, ...).
+        grad_sum, accum_local, loss = accumulate(state, batch, rng)
+        acc_dt = jnp.dtype(accum_dtype) if accum_dtype else None
 
         def maybe_hists(g, flags=None):
             # watch-parity gradient histograms, computed only on eval steps
@@ -458,25 +571,17 @@ def make_train_step(
                 gather, shard_updates, state.trainable
             )
         elif fused_apply is not None:
-            # Fused path: grads stay in the accumulator dtype; the clip
-            # factor rides into the one-pass Pallas update kernel
-            # (ops/fused_adamw8.py) as a scalar, so no scaled-grads or
-            # fp32-cast passes over the tree exist at all.
-            grads = jax.tree_util.tree_map(
-                lambda g: jax.lax.pmean(g / accum_local, DATA_AXIS), grad_sum
-            )
+            # Fused path: the gradient SUMS stay in the accumulator dtype
+            # and the mean divisor + clip factor ride into the one-pass
+            # update kernels as a single fp32 scalar, so no mean/clip/cast
+            # passes over the tree exist at all (same math as the
+            # split-update path, so the two modes stay bit-comparable).
+            grads, g_scale, scale = reduce_sums(grad_sum, accum_local)
             hists = maybe_hists(grads)
-            clip = None
-            if max_grad_norm is not None:
-                gnorm = jnp.sqrt(
-                    sum(
-                        jnp.sum(jnp.square(g.astype(jnp.float32)))
-                        for g in jax.tree_util.tree_leaves(grads)
-                    )
-                )
-                clip = jnp.minimum(1.0, max_grad_norm / (gnorm + 1e-6))
+            if hists is not None:
+                hists = scale_hist_ranges(hists, scale)
             trainable, opt_state = fused_apply(
-                grads, state.opt_state, state.trainable, g_scale=clip
+                grads, state.opt_state, state.trainable, g_scale=g_scale
             )
             new_state = TrainState(
                 trainable=trainable,
@@ -532,6 +637,142 @@ def make_train_step(
         state_spec = TrainState(
             trainable=rep, frozen=rep, opt_state=opt_spec, step=rep
         )
+
+    if split_update and not (zero_shard and n_dev > 1):
+        # Two-program step: the accumulation fwd/bwd and the optimizer
+        # update compile separately, so the update's per-leaf fp32 temps
+        # never coexist with the fwd/bwd workspace + bf16 weight casts.
+        # This is what fits the full large-v3 Muon flagship on one 16 GB
+        # chip, and it sidesteps the pathological XLA schedule that made
+        # the in-step Muon update ~7x slower than the same update compiled
+        # alone. The handoff is the RAW gradient-sum carry in the
+        # accumulator dtype (bf16 halves the bytes; the buffer is the scan
+        # carry aliased into the program output — no mean/clip pass copies
+        # the tree, see reduce_sums) plus one fp32 mean+clip scalar that
+        # the update program applies per leaf inside its serialized
+        # regions, so no whole-tree fp32 or scaled copy ever exists.
+        def device_accum(state, batch, rng, grad_buf):
+            grad_sum, accum_local, loss = accumulate(state, batch, rng, grad_buf)
+            grads, g_scale, scale = reduce_sums(grad_sum, accum_local)
+            if grad_hist_every:
+                want = ((state.step + 1) % grad_hist_every) == 0
+                hists = jax.lax.cond(
+                    want,
+                    lambda t: grad_histograms(t, grad_hist_bins, None, DATA_AXIS),
+                    lambda t: _zeros_histograms(t, grad_hist_bins),
+                    grads,
+                )
+                hists = scale_hist_ranges(hists, scale)
+            else:
+                hists = ()
+            return grads, g_scale, loss, hists
+
+        def device_update(state, grads, g_scale):
+            if fused_apply is not None:
+                # One-pass update+apply: the mean/clip scalar folds into
+                # each leaf's fp32 pipeline, and each leaf's update is
+                # consumed by its own apply, so the program's temps are one
+                # (chunked) leaf pipeline, not the whole fp32 updates tree.
+                trainable, opt_state = fused_apply(
+                    grads, state.opt_state, state.trainable, g_scale=g_scale
+                )
+                return TrainState(
+                    trainable=trainable,
+                    frozen=state.frozen,
+                    opt_state=opt_state,
+                    step=state.step + 1,
+                )
+            # Unfused fallback (transforms without a one-pass applier, e.g.
+            # plain optax for LoRA trees): eager fp32 mean/clip tree — fine
+            # at the small scales that take this path.
+            grads = jax.tree_util.tree_map(
+                lambda g: g.astype(jnp.float32) * g_scale, grads
+            )
+            updates, opt_state = tx.update(
+                grads, state.opt_state, state.trainable
+            )
+            trainable = optax.apply_updates(state.trainable, updates)
+            return TrainState(
+                trainable=trainable,
+                frozen=state.frozen,
+                opt_state=opt_state,
+                step=state.step + 1,
+            )
+
+        accum_jit = jax.jit(
+            shard_map(
+                device_accum,
+                mesh=mesh,
+                in_specs=(state_spec, batch_spec, rep, rep),
+                out_specs=(rep, rep, rep, rep),
+                check_vma=False,
+            ),
+            donate_argnums=(3,),
+        )
+        # grads (arg 1) is NOT donated: its allocation is the persistent
+        # accumulator buffer recycled into the next step's accum program.
+        update_jit = jax.jit(
+            shard_map(
+                device_update,
+                mesh=mesh,
+                in_specs=(state_spec, rep, rep),
+                out_specs=state_spec,
+                check_vma=False,
+            ),
+            donate_argnums=(0,),
+        )
+
+        rep_sharding = NamedSharding(mesh, rep)
+        acc_dt_split = jnp.dtype(accum_dtype) if accum_dtype else None
+        make_grad_buf = jax.jit(
+            lambda t: jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, acc_dt_split or p.dtype), t
+            ),
+            out_shardings=rep_sharding,
+        )
+        # In-place zeroing of the recycled gradient allocation (donation
+        # aliases each output to its same-shaped input buffer): the accum
+        # program's scan carry initializes from the donated buffer DIRECTLY,
+        # so the buffer must arrive pre-zeroed. One full write pass
+        # (~11 ms for the 3 GB bf16 large-v3 tree) per step, in exchange
+        # for never materializing a second gradient-tree allocation.
+        zero_buf = jax.jit(
+            lambda t: jax.tree_util.tree_map(jnp.zeros_like, t),
+            donate_argnums=(0,),
+        )
+
+        def split_step(state, batch, rng):
+            buf = split_step._grad_buf
+            if buf is None:
+                buf = make_grad_buf(state.trainable)
+            split_step._grad_buf = None  # consumed (donated) below
+            grads, g_scale, loss, hists = accum_jit(state, batch, rng, buf)
+            # Retire the accumulation program before enqueueing the update
+            # (and the update before returning, i.e. before the caller
+            # enqueues the next accumulation): PjRt allocates a program's
+            # temp workspace at ENQUEUE time, so under async dispatch the
+            # two programs' workspaces coexist in HBM even though each fits
+            # alone — the large-v3 Muon flagship OOMs at runtime with a
+            # 14.6 GB compiled update peak. Fetching a scalar output forces
+            # completion (block_until_ready can be lazy on the axon
+            # backend; a literal fetch is not). Costs one host round-trip
+            # per program — noise against a ~1 s step.
+            loss = float(loss)
+            new_state = update_jit(state, grads, g_scale)
+            _ = int(new_state.step)
+            # Recycle the gradient allocation into the next accum program,
+            # zeroed in place (the accum carry initializes from it as-is).
+            split_step._grad_buf = zero_buf(grads)
+            if grad_hist_every:
+                return new_state, loss, hists
+            return new_state, loss
+
+        split_step._grad_buf = None
+
+        # exposed for memory diagnostics (tools/bench_muon_update.py et al.)
+        split_step.accum_jit = accum_jit
+        split_step.update_jit = update_jit
+        return split_step
 
     out_specs = (state_spec, rep, rep) if grad_hist_every else (state_spec, rep)
     sharded = shard_map(
