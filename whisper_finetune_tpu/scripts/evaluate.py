@@ -64,6 +64,9 @@ def main(args) -> None:
 
 
 def cli() -> None:
+    from whisper_finetune_tpu.utils import apply_platform_env
+
+    apply_platform_env()
     parser = argparse.ArgumentParser(description="Evaluate a checkpoint")
     parser.add_argument("--checkpoint", required=True,
                         help="OpenAI-format .pt path or preset name")

@@ -83,6 +83,22 @@ def read_config(yaml_file_path: str) -> Dict[str, Any]:
         return yaml.safe_load(file)
 
 
+def apply_platform_env() -> None:
+    """Make ``JAX_PLATFORMS`` authoritative for CLI entry points.
+
+    Plugin backends can register themselves ahead of the env selection (the
+    axon TPU plugin does — see tests/conftest.py), so ``JAX_PLATFORMS=cpu``
+    alone does not keep a subprocess off the TPU. Re-applying the env value
+    through ``jax.config`` pins the platform choice, which keeps CPU-only
+    runs (tests, docs/wer_parity.md rehearsals, machines where the chip is
+    busy or unreachable) from blocking on TPU backend initialization."""
+    platforms = os.environ.get("JAX_PLATFORMS")
+    if platforms:
+        import jax
+
+        jax.config.update("jax_platforms", platforms)
+
+
 def set_seed(seed: int) -> "np.random.Generator":
     """Seed the host-side RNGs used by the data pipeline.
 
