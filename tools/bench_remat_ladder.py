@@ -165,8 +165,50 @@ CASES = {
         6,
         {"precast_weights": False, "remat_policy": "save:enc_qkv,dec_qkv"},
     ),
+    # nocast + big save-sets: with the barriered per-layer cast
+    # (models/whisper.py _cast_block_slice) precast_weights=False now truly
+    # frees the ~3.1 GB resident bf16 tree (it used to be hoisted back),
+    # which pays for save-sets that were OOM in the round-3 ladder
+    "nocast_save_probs": (
+        6,
+        {"precast_weights": False, "remat_policy": "save:attn_probs"},
+    ),
+    "nocast_save_cross": (
+        6,
+        {"precast_weights": False, "remat_policy": "save:cross_q,cross_kv"},
+    ),
+    "cs_nocast_save_probs": (
+        6,
+        {
+            "attn_impl_cross": "splash",
+            "precast_weights": False,
+            "remat_policy": "save:attn_probs",
+        },
+    ),
+    "cs_nocast_save_probs_qkv": (
+        6,
+        {
+            "attn_impl_cross": "splash",
+            "precast_weights": False,
+            "remat_policy": "save:attn_probs,dec_qkv,dec_mlp_h",
+        },
+    ),
+    "cs_nocast_save_enc_qkv": (
+        6,
+        {
+            "attn_impl_cross": "splash",
+            "precast_weights": False,
+            "remat_policy": "save:enc_qkv,enc_mlp_h",
+        },
+    ),
+    "cross_splash_nocast": (
+        6,
+        {"attn_impl_cross": "splash", "precast_weights": False},
+    ),
     # bigger batch, full remat (MFU via batch instead of saves)
     "batch8": (8, {}),
+    "batch7": (7, {}),
+    "cross_splash_batch7": (7, {"attn_impl_cross": "splash"}),
     # two steps in one XLA program: overlap optimizer tail with next fwd
     "unroll2": (6, {}, 2),
     "unroll2_cross_splash": (6, {"attn_impl_cross": "splash"}, 2),

@@ -83,6 +83,31 @@ def combine_params(trainable: Params, frozen: Params) -> Params:
 # Loss
 # ---------------------------------------------------------------------------
 
+def _ce_forward(logits, targets, label_smoothing: float):
+    """Reduction-form smoothed CE: ``-logp[target] = lse - logit[target]``
+    and ``mean(-logp) = lse - mean(logits)``, so the loss needs only three
+    row reductions over the logits (max, log-sum-exp, mean) and never
+    materializes the fp32 log-softmax tree — on the flagship (B, 448,
+    51866) that tree is ~1.1 GB written and re-read per microbatch."""
+    mask = targets != IGNORE_INDEX
+    safe_targets = jnp.where(mask, targets, 0)
+    l32 = logits.astype(jnp.float32)
+    m = jax.lax.stop_gradient(jnp.max(l32, axis=-1))
+    lse = m + jnp.log(jnp.sum(jnp.exp(l32 - m[..., None]), axis=-1))
+    l_t = jnp.take_along_axis(l32, safe_targets[..., None], axis=-1)[..., 0]
+    nll = lse - l_t
+    if label_smoothing > 0.0:
+        smooth = lse - jnp.mean(l32, axis=-1)
+        per_tok = (1.0 - label_smoothing) * nll + label_smoothing * smooth
+    else:
+        per_tok = nll
+    per_tok = jnp.where(mask, per_tok, 0.0)
+    count = jnp.maximum(jnp.sum(mask), 1)
+    loss = jnp.sum(per_tok) / count
+    return loss, (mask, safe_targets, lse, count)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
 def cross_entropy_loss(
     logits: jnp.ndarray,
     targets: jnp.ndarray,
@@ -91,19 +116,45 @@ def cross_entropy_loss(
     """Label-smoothed cross entropy with ``-100`` ignore positions, numerics
     matching ``torch.nn.functional.cross_entropy(..., label_smoothing=s,
     ignore_index=-100)`` with mean reduction (reference model_utils.py:66).
+
+    Custom VJP: the residuals are the (already-live) logits plus (B, T)
+    row statistics — no vocab-sized tensor is saved between forward and
+    backward (autodiff of ``log_softmax`` keeps the full fp32 ``logp``
+    tree); the backward rebuilds the softmax in one fused elementwise pass
+    ``exp(logits - lse)`` and folds the target/smoothing terms in place:
+    ``d/dl_j = softmax_j - (1-s)·1[j=target] - s/V`` per unmasked token.
     """
-    mask = targets != IGNORE_INDEX
-    safe_targets = jnp.where(mask, targets, 0)
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, safe_targets[..., None], axis=-1)[..., 0]
-    if label_smoothing > 0.0:
-        smooth = -jnp.mean(logp, axis=-1)
-        per_tok = (1.0 - label_smoothing) * nll + label_smoothing * smooth
-    else:
-        per_tok = nll
-    per_tok = jnp.where(mask, per_tok, 0.0)
-    count = jnp.maximum(jnp.sum(mask), 1)
-    return jnp.sum(per_tok) / count
+    loss, _ = _ce_forward(logits, targets, label_smoothing)
+    return loss
+
+
+def _ce_fwd(logits, targets, label_smoothing: float):
+    loss, (mask, safe_targets, lse, count) = _ce_forward(
+        logits, targets, label_smoothing
+    )
+    return loss, (logits, mask, safe_targets, lse, count)
+
+
+def _ce_bwd(label_smoothing: float, res, g):
+    logits, mask, safe_targets, lse, count = res
+    n_vocab = logits.shape[-1]
+    coeff = (g * mask.astype(jnp.float32) / count)[..., None]
+    l32 = logits.astype(jnp.float32)
+    p = jnp.exp(l32 - lse[..., None])
+    onehot = (
+        jnp.arange(n_vocab, dtype=safe_targets.dtype) == safe_targets[..., None]
+    ).astype(jnp.float32)
+    dl = coeff * (
+        p
+        - (1.0 - label_smoothing) * onehot
+        - (label_smoothing / n_vocab)
+    )
+    # Integer targets carry no tangent (float0 cotangent).
+    dt = np.zeros(safe_targets.shape, dtype=jax.dtypes.float0)
+    return dl.astype(logits.dtype), dt
+
+
+cross_entropy_loss.defvjp(_ce_fwd, _ce_bwd)
 
 
 # ---------------------------------------------------------------------------
