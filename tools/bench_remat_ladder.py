@@ -201,6 +201,22 @@ CASES = {
             "remat_policy": "save:enc_qkv,enc_mlp_h",
         },
     ),
+    "cs_nocast_save_enc_qkv_only": (
+        6,
+        {
+            "attn_impl_cross": "splash",
+            "precast_weights": False,
+            "remat_policy": "save:enc_qkv",
+        },
+    ),
+    "cs_nocast_save_enc_ln": (
+        6,
+        {
+            "attn_impl_cross": "splash",
+            "precast_weights": False,
+            "remat_policy": "save:enc_ln1,enc_ln2,dec_qkv",
+        },
+    ),
     "cross_splash_nocast": (
         6,
         {"attn_impl_cross": "splash", "precast_weights": False},
