@@ -118,6 +118,31 @@ def test_manual_grads_match_autodiff(compute_dtype, acc_dtype, gtol, ltol):
         )
 
 
+def test_manual_precast_matches_slice_cast():
+    """precast=True (one resident compute-dtype block shadow) and the
+    default per-slice barriered cast must produce identical gradients —
+    the cast is linear, so placement cannot change the math."""
+    fcfg = ForwardConfig(compute_dtype="bfloat16")
+    params = init_params(jax.random.PRNGKey(4), DIMS)
+    batch = _batch(seed=11)
+    micro_rngs = jax.random.split(jax.random.PRNGKey(5), batch["mel"].shape[0])
+    loss_fn = lambda lg, tg: cross_entropy_loss(lg, tg, SMOOTH)  # noqa: E731
+
+    outs = []
+    for precast in (False, True):
+        acc = make_manual_accumulator(DIMS, fcfg, loss_fn, precast=precast)
+        buf = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.bfloat16), params
+        )
+        outs.append(jax.jit(acc)(params, batch, micro_rngs, buf))
+    (g_a, l_a), (g_b, l_b) = outs
+    np.testing.assert_allclose(float(l_a), float(l_b), rtol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_a), jax.tree_util.tree_leaves(g_b)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_manual_accum_one_microbatch_path():
     """accum_local == 1 bypasses the scan; both shapes must agree."""
     fcfg = ForwardConfig(compute_dtype="float32")

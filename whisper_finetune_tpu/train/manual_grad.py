@@ -99,6 +99,7 @@ def make_manual_accumulator(
     fcfg: ForwardConfig,
     loss_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
     feat_cfg=None,
+    precast: bool = False,
 ) -> Callable:
     """Build ``accumulate(params, batch, micro_rngs, grad_buf) ->
     (grad_buf, loss_sum)``.
@@ -106,12 +107,37 @@ def make_manual_accumulator(
     ``batch`` leaves are (accum_local, local_B, ...); ``grad_buf`` is a
     donated params-shaped tree in the accumulator dtype whose content is
     added to (pass zeros for a fresh step). RNG derivation per microbatch
-    matches ``train.step``'s automatic path exactly."""
+    matches ``train.step``'s automatic path exactly.
+
+    ``precast=True`` casts each block stack to the compute dtype ONCE per
+    microbatch (a resident ~2.9 GB bf16 shadow on large-v3, but the four
+    layer scans then stream half the weight bytes and skip the per-slice
+    casts); the default re-casts one layer's slices behind a barrier in
+    every scan body, trading weight-read bandwidth for the 2.9 GB — the
+    fit that matters at the 16 GB accumulation-program budget. Same math
+    either way: the cast is linear, so the bf16 weight cotangents are
+    identical before they land in the accumulator."""
     if fcfg.lora_scale:
         raise ValueError("manual backward does not support LoRA runs")
     dtype = fcfg.dtype
     nh_e, nh_d = dims.n_audio_head, dims.n_text_head
     L_e, L_d = dims.n_audio_layer, dims.n_text_layer
+    precast = bool(precast) and dtype != jnp.float32
+
+    def _precast_blocks(blocks: Params) -> Params:
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(dtype)
+            if (a.dtype == jnp.float32 and a.ndim >= 3)  # stacked matrices
+            else a,
+            blocks,
+        )
+
+    def _scan_cast(bp: Params, tie):
+        """Per-scan-body weight cast: identity under ``precast`` (the
+        blocks arrive already in the compute dtype)."""
+        if precast:
+            return bp, tie
+        return _maybe_slice_cast(bp, tie, dtype)
 
     # ---------------- per-segment forward functions --------------------
 
@@ -166,6 +192,8 @@ def make_manual_accumulator(
 
     def microbatch(params: Params, buf: Params, mb, mrng):
         enc, dec = params["encoder"], params["decoder"]
+        enc_blocks = _precast_blocks(enc["blocks"]) if precast else enc["blocks"]
+        dec_blocks = _precast_blocks(dec["blocks"]) if precast else dec["blocks"]
         if feat_cfg is not None:
             from whisper_finetune_tpu.ops.spec_augment import featurize_impl
 
@@ -189,11 +217,11 @@ def make_manual_accumulator(
 
         def enc_fwd(x, xs):
             bp, keys, flag = xs
-            bp, x = _maybe_slice_cast(bp, x, dtype)
+            bp, x = _scan_cast(bp, x)
             return enc_layer(x, bp, keys, flag, dsa_gate), x  # emit input
 
         x_enc, enc_inputs = jax.lax.scan(
-            enc_fwd, x0, (enc["blocks"], enc_keys, dsa_flags)
+            enc_fwd, x0, (enc_blocks, enc_keys, dsa_flags)
         )
 
         xa = enc_head(enc["ln_post"], x_enc)
@@ -203,11 +231,11 @@ def make_manual_accumulator(
 
         def dec_fwd(x, xs):
             bp, keys = xs
-            bp, x = _maybe_slice_cast(bp, x, dtype)
+            bp, x = _scan_cast(bp, x)
             return dec_layer(x, bp, xa, keys), x
 
         x_dec, dec_inputs = jax.lax.scan(
-            dec_fwd, xd0, (dec["blocks"], dec_keys)
+            dec_fwd, xd0, (dec_blocks, dec_keys)
         )
 
         # ===== backward =====
@@ -223,7 +251,7 @@ def make_manual_accumulator(
         def dec_bwd(carry, xs):
             dx, dxa, buf_blocks = carry
             x_i, bp32, keys, i = xs
-            bp, dx = _maybe_slice_cast(bp32, dx, dtype)
+            bp, dx = _scan_cast(bp32, dx)
             _, vjp = jax.vjp(lambda x, w, a: dec_layer(x, w, a, keys), x_i, bp, xa)
             dx, dw, dxa_i = vjp(dx)
             return (dx, dxa + dxa_i, _accum_slice(buf_blocks, i, dw)), None
@@ -231,7 +259,7 @@ def make_manual_accumulator(
         (dx, dxa, buf_dec_blocks), _ = jax.lax.scan(
             dec_bwd,
             (dx, jnp.zeros_like(xa), buf["decoder"]["blocks"]),
-            (dec_inputs, dec["blocks"], dec_keys, jnp.arange(L_d)),
+            (dec_inputs, dec_blocks, dec_keys, jnp.arange(L_d)),
             reverse=True,
         )
 
@@ -253,7 +281,7 @@ def make_manual_accumulator(
         def enc_bwd(carry, xs):
             dx, buf_blocks = carry
             x_i, bp32, keys, flag, i = xs
-            bp, dx = _maybe_slice_cast(bp32, dx, dtype)
+            bp, dx = _scan_cast(bp32, dx)
             _, vjp = jax.vjp(
                 lambda x, w: enc_layer(x, w, keys, flag, dsa_gate), x_i, bp
             )
@@ -263,7 +291,7 @@ def make_manual_accumulator(
         (dx0, buf_enc_blocks), _ = jax.lax.scan(
             enc_bwd,
             (dxe, buf["encoder"]["blocks"]),
-            (enc_inputs, enc["blocks"], enc_keys, dsa_flags, jnp.arange(L_e)),
+            (enc_inputs, enc_blocks, enc_keys, dsa_flags, jnp.arange(L_e)),
             reverse=True,
         )
 

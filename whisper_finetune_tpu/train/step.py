@@ -288,6 +288,7 @@ def make_train_step(
     grad_hist_bins: int = 64,
     split_update: bool = False,
     manual_backward: bool = False,
+    manual_precast: bool = False,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray], jnp.ndarray], tuple]:
     """Build the jitted data-parallel train step.
 
@@ -355,6 +356,7 @@ def make_train_step(
                 logits, targets, label_smoothing
             ),
             feat_cfg=feat_cfg,
+            precast=manual_precast,
         )
     # One-pass fused update (adamw_8bit's Pallas kernel), used on the full
     # tree single-mesh and on each device's shard under ZeRO-1.
