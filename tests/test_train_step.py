@@ -428,6 +428,55 @@ def test_zero_fused_matches_unfused():
             )
 
 
+def test_fused_single_mesh_matches_unfused():
+    """Single-mesh fused branch (raw bf16 gradient SUMS + one combined
+    mean/clip scalar into fused_apply) must match the unfused flow (pmean
+    to fp32 means, clip, tx.update) — guards the sums-based contract
+    against scale bugs that plain convergence checks cannot see."""
+    from whisper_finetune_tpu.optim.quantized import adamw_8bit
+
+    mesh = get_data_mesh()
+    dims = DIMS.replace(n_audio_layer=2, n_text_layer=2)
+    tx_fused = adamw_8bit(1e-3, weight_decay=0.01)
+    tx_plain = optax.GradientTransformation(tx_fused.init, tx_fused.update)
+
+    rng = np.random.default_rng(9)
+    batch = shard_batch(mesh, {
+        "mel": jnp.asarray(rng.standard_normal(
+            (2, 8, dims.n_mels, dims.n_audio_ctx * 2)).astype(np.float32)),
+        "dec_input": jnp.asarray(
+            rng.integers(0, dims.n_vocab, (2, 8, dims.n_text_ctx)).astype(np.int32)),
+        "dec_output": jnp.asarray(
+            rng.integers(0, dims.n_vocab, (2, 8, dims.n_text_ctx)).astype(np.int32)),
+    })
+    key = jax.random.PRNGKey(0)
+
+    def run(tx):
+        params = init_params(jax.random.PRNGKey(2), dims)
+        trainable, frozen = partition_params(params, None)
+        state = TrainState(
+            trainable, frozen, tx.init(trainable), jnp.zeros((), jnp.int32)
+        )
+        step_fn = make_train_step(
+            mesh, dims, FCFG, tx, max_grad_norm=1.0,
+            accum_dtype="bfloat16",
+        )
+        losses = []
+        for _ in range(2):
+            state, loss = step_fn(state, batch, key)
+            losses.append(float(loss))
+        return state, losses
+
+    s_fused, l_fused = run(tx_fused)
+    s_plain, l_plain = run(tx_plain)
+    assert l_fused == pytest.approx(l_plain, abs=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_fused.trainable),
+        jax.tree_util.tree_leaves(s_plain.trainable),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_bf16_grad_accumulation_close_to_fp32():
     mesh = get_data_mesh()
     tx = optax.adamw(1e-3)
