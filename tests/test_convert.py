@@ -199,6 +199,34 @@ def test_local_only_snapshot_carries_tokenizer_assets(tmp_path, monkeypatch):
     assert isinstance(resolved, str) and os.path.isfile(resolved)
 
 
+def test_ct2_config_not_clobbered_by_extra_assets(tmp_path):
+    # Regression: a CT2 model dir owns its config.json (CTranslate2
+    # metadata); a same-named transformers config passed via extra_files
+    # must NOT overwrite it in the snapshot (first entry wins).
+    import os
+
+    from whisper_finetune_tpu.scripts.upload_model_to_hub import (
+        write_to_hf_cache,
+    )
+
+    ct2 = tmp_path / "ct2"
+    ct2.mkdir()
+    (ct2 / "model.bin").write_bytes(b"w")
+    (ct2 / "config.json").write_text('{"ct2": true}')
+    hf_cfg = tmp_path / "config.json"
+    hf_cfg.write_text('{"transformers": true}')
+    tok = tmp_path / "tokenizer.json"
+    tok.write_text("{}")
+
+    snapshot = write_to_hf_cache(
+        "org/ct2-model", ct2_folder=str(ct2),
+        cache_dir=str(tmp_path / "hub"),
+        extra_files=[str(hf_cfg), str(tok)],
+    )
+    assert '"ct2": true' in open(os.path.join(snapshot, "config.json")).read()
+    assert os.path.isfile(os.path.join(snapshot, "tokenizer.json"))
+
+
 def test_copy_deployment_assets_explicit_dir_missing_file(tmp_path):
     # an explicitly passed --tokenizer-dir missing one of the three files is
     # a hard error (reference upload_model_to_hub.py:168-180)

@@ -363,11 +363,16 @@ def test_save_policy_gradients_match_full_remat(tiny_params):
                 np.asarray(a), np.asarray(b), atol=1e-5, err_msg=policy
             )
 
+    # ForwardConfig is an unvalidated dataclass; the empty save-list error
+    # surfaces at trace time (whisper.py _remat), exercised here with the
+    # remat path enabled.
     with pytest.raises(ValueError):
-        ForwardConfig(remat_policy="save:")  # no names
         forward.__wrapped__(
             tiny_params, mel, jnp.asarray(tokens), TINY,
-            ForwardConfig(compute_dtype="float32", remat_policy="save:"),
+            ForwardConfig(
+                compute_dtype="float32", remat_policy="save:",
+                remat_encoder=True,
+            ),
             train=True,
         )
 

@@ -562,7 +562,7 @@ def test_muon_partition_fused_apply_matches_update():
             "muon_aux_8bit": aux_8bit,
         }
         tx, _ = get_optimizer(params, conf)
-        assert getattr(tx, "lazy_grad_cast", False)
+        assert hasattr(tx, "fused_apply")  # one-pass protocol for the pair
         grads = jax.tree_util.tree_map(
             lambda p: jnp.asarray(
                 rng.standard_normal(p.shape), jnp.float32

@@ -305,6 +305,7 @@ def test_zero_shard_matches_replicated():
     step_zero = make_train_step(
         mesh, dims, FCFG, tx, max_grad_norm=1.0,
         zero_shard=True, zero_opt_state=s_zero.opt_state,
+        zero_params=s_zero.trainable,
     )
     for _ in range(3):
         s_zero, loss_zero = step_zero(s_zero, shard_batch(mesh, batch), key)
@@ -342,6 +343,7 @@ def test_zero_shard_composes_with_8bit_state():
     step_fn = make_train_step(
         mesh, dims, FCFG, tx, max_grad_norm=1.0,
         zero_shard=True, zero_opt_state=state.opt_state,
+        zero_params=state.trainable,
     )
     rng = np.random.default_rng(5)
     batch = shard_batch(mesh, {
@@ -357,6 +359,57 @@ def test_zero_shard_composes_with_8bit_state():
         state, loss = step_fn(state, batch, jax.random.PRNGKey(0))
         losses.append(float(loss))
     assert all(np.isfinite(losses)) and losses[-1] < losses[0]
+
+
+def test_zero_shard_quantized_state_of_replicated_param():
+    """Regression: blockwise-quantized state must shard only when its OWNING
+    parameter shards. large-v3's conv kernels have leading axis 3 (never
+    divisible by the mesh) but block counts that are — deciding from the
+    codes' own shape sharded state next to a replicated parameter and broke
+    the shard update at trace time."""
+    from whisper_finetune_tpu.optim.quantized import _QMoment, adamw_8bit
+    from whisper_finetune_tpu.train.step import zero_state_sharding
+
+    mesh = get_data_mesh()
+    n_dev = mesh.devices.size
+    # conv2 kernel: (3, 64, 64) = 12288 elements -> quantized (48 blocks,
+    # 48 % 8 == 0) while the leading axis 3 stays replicated.
+    dims = DIMS.replace(
+        n_audio_state=64, n_text_state=64, n_audio_layer=n_dev,
+        n_text_layer=n_dev,
+    )
+    tx = adamw_8bit(1e-3)
+    params = init_params(jax.random.PRNGKey(0), dims)
+    trainable, frozen = partition_params(params, None)
+    state = TrainState(
+        trainable, frozen, tx.init(trainable), jnp.zeros((), jnp.int32)
+    )
+    conv_mu = state.opt_state[0].mu["encoder"]["conv2"]["w"]
+    assert isinstance(conv_mu, _QMoment) and conv_mu.codes.shape[0] % n_dev == 0
+
+    shardings = zero_state_sharding(mesh, state)
+    conv_spec = shardings.opt_state[0].mu["encoder"]["conv2"]["w"]
+    assert conv_spec.codes.spec == jax.sharding.PartitionSpec(), (
+        "quantized state of a replicated param must stay replicated"
+    )
+
+    state = jax.device_put(state, shardings)
+    step_fn = make_train_step(
+        mesh, dims, FCFG, tx, max_grad_norm=1.0,
+        zero_shard=True, zero_opt_state=state.opt_state,
+        zero_params=state.trainable,
+    )
+    rng = np.random.default_rng(12)
+    batch = shard_batch(mesh, {
+        "mel": jnp.asarray(rng.standard_normal(
+            (1, 8, dims.n_mels, dims.n_audio_ctx * 2)).astype(np.float32)),
+        "dec_input": jnp.asarray(
+            rng.integers(0, dims.n_vocab, (1, 8, dims.n_text_ctx)).astype(np.int32)),
+        "dec_output": jnp.asarray(
+            rng.integers(0, dims.n_vocab, (1, 8, dims.n_text_ctx)).astype(np.int32)),
+    })
+    state, loss = step_fn(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
 
 
 def test_zero_fused_matches_unfused():
@@ -395,6 +448,7 @@ def test_zero_fused_matches_unfused():
         step_fn = make_train_step(
             mesh, dims, FCFG, tx, max_grad_norm=1.0,
             zero_shard=True, zero_opt_state=state.opt_state,
+        zero_params=state.trainable,
         )
         losses = []
         for _ in range(2):
@@ -565,6 +619,7 @@ def test_grad_histograms_watch_parity():
         mesh, dims, FCFG, tx, max_grad_norm=1.0, grad_hist_every=1,
         grad_hist_bins=32,
         zero_shard=True, zero_opt_state=s_zero.opt_state,
+        zero_params=s_zero.trainable,
     )
     _, _, hist_zero = step_zero(s_zero, shard_batch(mesh, batch), key)
 

@@ -161,7 +161,22 @@ def _splash_kernel(n_heads, Tq_pad, Tk_pad, Tq, Tk, causal, variant):
     The mask is static: keys beyond ``Tk`` are never attendable, queries
     beyond ``Tq`` are garbage rows sliced off by the caller (they get one
     attendable key so every softmax row stays well-formed)."""
-    variant = os.environ.get("WFT_SPLASH_VARIANT", variant)
+    env_variant = os.environ.get("WFT_SPLASH_VARIANT")
+    if env_variant:
+        # Benchmarking override (see WFT_SPLASH_BQ/BKV below): validate and
+        # announce it, so a stray exported variable can't silently swap the
+        # production kernel or fail with a confusing downstream error.
+        if env_variant not in SPLASH_VARIANTS:
+            raise ValueError(
+                f"WFT_SPLASH_VARIANT={env_variant!r} is not one of "
+                f"{SPLASH_VARIANTS}"
+            )
+        if env_variant != variant and not _SPLASH_CACHE:
+            print(
+                f"WFT_SPLASH_VARIANT override active: splash kernels use "
+                f"{env_variant!r} (benchmarking knob)"
+            )
+        variant = env_variant
     key = (n_heads, Tq_pad, Tk_pad, Tq, Tk, causal, variant)
     if key in _SPLASH_CACHE:
         return _SPLASH_CACHE[key]

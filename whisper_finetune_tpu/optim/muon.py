@@ -59,7 +59,9 @@ _PE_SCHEDULE = (
 
 def _ns_coeff_table(steps: int, coeffs: str) -> jnp.ndarray:
     if coeffs == "classic":
-        return jnp.asarray([_NS_COEFFS] * steps, jnp.float32)
+        # reshape keeps steps=0 a valid (0, 3) scan input (a bare [] would
+        # collapse to shape (0,) and break the scan body's unpacking)
+        return jnp.asarray([_NS_COEFFS] * steps, jnp.float32).reshape(steps, 3)
     if coeffs == "polar_express":
         if steps > len(_PE_SCHEDULE):
             raise ValueError(

@@ -40,29 +40,19 @@ from whisper_finetune_tpu.optim.muon import rms_match_scale, scale_by_muon
 Schedule = Callable[[jnp.ndarray], jnp.ndarray]
 
 
-class LazyCastGradientTransformation(optax.GradientTransformation):
-    """optax pair flagged ``lazy_grad_cast``: its update accepts gradients in
-    a reduced dtype (the train step's bf16 accumulator) and upcasts to fp32
-    per leaf internally — inside scale_by_muon's serialization barriers for
-    the big matrices, so no whole-tree fp32 gradient copy is ever live. The
-    split-update train step checks this flag before eagerly casting."""
-
-    @property
-    def lazy_grad_cast(self) -> bool:
-        return True
-
-
-class LazyCastFusedTransformation(NamedTuple):
-    """``FusedGradientTransformation`` (init/update/fused_apply) that is also
-    flagged ``lazy_grad_cast`` (see LazyCastGradientTransformation)."""
+class FusedMultiTransform(NamedTuple):
+    """init/update/fused_apply triple for a multi-label optimizer partition
+    (the ``FusedGradientTransformation`` protocol the train step's fused
+    paths dispatch on). Both ``update`` and ``fused_apply`` accept gradient
+    sums in a reduced dtype (the train step's bf16 accumulator): every
+    member transformation upcasts to fp32 per leaf internally — inside
+    scale_by_muon's serialization barriers for the big matrices, via the
+    chained per-leaf cast for the auxiliary leaves — so no whole-tree fp32
+    gradient copy is ever live."""
 
     init: Any
     update: Any
     fused_apply: Any
-
-    @property
-    def lazy_grad_cast(self) -> bool:
-        return True
 
 
 def _cast_grads_fp32() -> optax.GradientTransformation:
@@ -362,14 +352,13 @@ def get_optimizer(
             },
             labels,
         )
-        # Muon handles reduced-dtype grads itself (per-leaf upcast behind
-        # its serialization barriers); flag the pair so the split-update
-        # train step skips the whole-tree eager fp32 cast — and give the
-        # pair a one-pass ``fused_apply`` so the optimizer tail never
-        # materializes the whole fp32 updates tree (OOM-decisive on the
-        # one-chip large-v3 Muon flagship, and what keeps the v5e-8 ZeRO
-        # configs on the one-pass update path).
-        tx = LazyCastFusedTransformation(
+        # Give the pair a one-pass ``fused_apply`` (Muon upcasts reduced-
+        # dtype grads per leaf behind its serialization barriers; the aux
+        # chain casts per leaf) so the optimizer tail never materializes
+        # the whole fp32 updates tree — OOM-decisive on the one-chip
+        # large-v3 Muon flagship, and what keeps the v5e-8 ZeRO configs on
+        # the one-pass update path.
+        tx = FusedMultiTransform(
             tx.init,
             tx.update,
             _make_muon_partition_fused_apply(labels, muon_tx, aux_tx),

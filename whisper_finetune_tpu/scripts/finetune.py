@@ -27,6 +27,7 @@ import json
 import math
 import os
 import time
+from functools import partial
 from pprint import pprint
 from typing import Dict, Optional
 
@@ -278,15 +279,24 @@ def _np_histogram_record(counts, lo: float, hi: float) -> Dict:
     }
 
 
+@partial(jax.jit, static_argnames=("bins",))
+def _jit_param_histograms(trainable, bins: int):
+    # Module-level jit: caching keys on function identity, so the histogram
+    # program compiles once per tree shape rather than re-tracing the full
+    # parameter tree at every eval step (a fresh lambda per call defeats
+    # the cache).
+    from whisper_finetune_tpu.train.step import grad_histograms
+
+    return grad_histograms(trainable, bins)
+
+
 def _param_histograms(trainable, bins: int = 64) -> Dict[str, Dict]:
     """``params_hist/<side>.<module>`` 64-bin histograms of the trainable
     tree — with the step's gradient histograms, the full wandb.watch(model,
     log="all") telemetry (reference finetune.py:151). Ranges and counts are
     reduced on device per leaf (no concatenation of the 1.5B-param tree);
     only the (bins,) count vectors come to host."""
-    from whisper_finetune_tpu.train.step import grad_histograms
-
-    hists = jax.jit(lambda t: grad_histograms(t, bins))(trainable)
+    hists = _jit_param_histograms(trainable, bins)
     return {
         f"params_hist/{name}": _np_histogram_record(
             jax.device_get(counts), float(lo), float(hi)
@@ -864,16 +874,28 @@ def main(config: Dict) -> None:
         # keeps the single fused program (one dispatch, fused clip/update).
         split_update = bool(config["optimizer"].get("muon"))
     full_tree = all(jax.tree_util.tree_leaves(trainable_mask)) and not lora_mask
+    zero_active = zero_shard and mesh.devices.size > 1
+    if split_update and zero_active:
+        # ZeRO already shards the update across devices; make_train_step
+        # keeps the single-program step there, so an explicit true would be
+        # silently inert — surface it instead.
+        rt.print_once(
+            "split_optimizer_step is inert under zero_shard_optimizer on a "
+            "multi-device mesh (ZeRO keeps the single-program step); "
+            "continuing without it."
+        )
+        split_update = False
     manual_backward = config["training"].get("manual_backward", "auto")
     if manual_backward == "auto":
         # The hand-written accumulating backward (train/manual_grad.py) is
         # what fits full-model split-update training with real
         # accum_grad_steps on a 16 GB chip; it only supports the full tree.
-        manual_backward = bool(split_update) and full_tree and not zero_shard
+        manual_backward = bool(split_update) and full_tree
     elif manual_backward and not (split_update and full_tree):
         raise ValueError(
             "training.manual_backward=true requires split_optimizer_step "
-            "and full fine-tuning (no LoRA / train_only_*)"
+            "(unavailable under zero_shard_optimizer on a multi-device "
+            "mesh) and full fine-tuning (no LoRA / train_only_*)"
         )
     step_fn = make_train_step(
         mesh,
@@ -885,6 +907,7 @@ def main(config: Dict) -> None:
         max_grad_norm=float(config["training"]["max_grad_norm"]),
         zero_shard=zero_shard,
         zero_opt_state=state.opt_state if zero_shard else None,
+        zero_params=state.trainable if zero_shard else None,
         accum_dtype=config["training"].get("grad_accum_dtype"),
         grad_hist_every=int(config["training"]["val_steps"]),
         split_update=bool(split_update),

@@ -297,9 +297,16 @@ def write_to_hf_cache(
                 manifest.append((os.path.relpath(full, ct2_folder), full))
     if pt_path and os.path.exists(pt_path):
         manifest.append((os.path.basename(pt_path), pt_path))
+    # First entry wins on name collisions: a CT2 model dir owns its own
+    # config.json (CTranslate2 metadata) — letting a same-named extra (the
+    # transformers config) overwrite it corrupts the faster-whisper
+    # artifact. The reference likewise ships only tokenizer/preprocessor
+    # JSONs next to CT2 output (upload_model_to_hub.py:409-413).
+    taken = {rel for rel, _ in manifest}
     for path in extra_files or ():
-        if os.path.exists(path):
+        if os.path.exists(path) and os.path.basename(path) not in taken:
             manifest.append((os.path.basename(path), path))
+            taken.add(os.path.basename(path))
 
     commit_hash = snapshot_revision(repo_id, manifest, readme_text)
 
@@ -384,9 +391,17 @@ def main(args) -> None:
             asset_src = hf_dir
         else:
             asset_src = resolve_tokenizer_dir(ckpt, args.tokenizer_dir)
+        # With a CT2 model dir the snapshot's config.json is CTranslate2's
+        # own; only the tokenizer/preprocessor ride along (write_to_hf_cache
+        # also enforces first-wins on collisions).
+        asset_names = (
+            tuple(f for f in DEPLOYMENT_ASSET_FILES if f != "config.json")
+            if ct2_dir
+            else DEPLOYMENT_ASSET_FILES
+        )
         assets = [
             os.path.join(asset_src, f)
-            for f in DEPLOYMENT_ASSET_FILES
+            for f in asset_names
             if asset_src and os.path.isfile(os.path.join(asset_src, f))
         ]
         snapshot = write_to_hf_cache(

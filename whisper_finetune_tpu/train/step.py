@@ -253,17 +253,62 @@ def _zero_shardable(leaf, n_dev: int) -> bool:
     )
 
 
+def _zero_opt_partition_specs(opt_state, trainable, n_dev):
+    """PartitionSpec tree for ZeRO-1 optimizer state: a state leaf shards
+    over the data axis iff the PARAMETER it belongs to does.
+
+    The association is by path suffix: moment trees mirror the parameter
+    tree (``...mu.encoder.blocks.attn.w``, ``...momentum.decoder...``), so
+    the longest state-path suffix that resolves to a parameter path
+    identifies the owner. Deciding from the state leaf's own shape is
+    wrong for blockwise-quantized state: a replicated parameter (leading
+    axis not divisible by the axis size, e.g. large-v3's (3, 128, 1280)
+    conv kernels) can still have a block count that divides it, and a
+    sharded ``_QMoment`` next to a replicated parameter breaks the shard
+    update. ``_QMoment`` is treated atomically — codes and scales shard
+    together or not at all. State leaves with no owning parameter
+    (schedule counts, scalars) replicate."""
+    from whisper_finetune_tpu.optim.quantized import _QMoment
+
+    p_index = {
+        tuple(path): _zero_shardable(leaf, n_dev)
+        for path, leaf in jax.tree_util.tree_flatten_with_path(trainable)[0]
+    }
+
+    def owner_shardable(spath) -> bool:
+        for k in range(len(spath)):
+            hit = p_index.get(tuple(spath[k:]))
+            if hit is not None:
+                return hit
+        return False
+
+    def spec_for(spath, leaf):
+        if not owner_shardable(spath):
+            return (
+                _QMoment(P(), P()) if isinstance(leaf, _QMoment) else P()
+            )
+        if isinstance(leaf, _QMoment):
+            return _QMoment(P(DATA_AXIS), P(DATA_AXIS))
+        return P(DATA_AXIS) if _zero_shardable(leaf, n_dev) else P()
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(
+        opt_state, is_leaf=lambda x: isinstance(x, _QMoment)
+    )
+    return jax.tree_util.tree_unflatten(
+        treedef, [spec_for(path, leaf) for path, leaf in flat]
+    )
+
+
 def zero_state_sharding(mesh: Mesh, state: TrainState) -> TrainState:
     """Per-leaf shardings for ZeRO-1: optimizer state distributed over the
-    data axis, everything else replicated. Feed to ``jax.device_put`` and to
+    data axis (param-associated, see :func:`_zero_opt_partition_specs`),
+    everything else replicated. Feed to ``jax.device_put`` and to
     ``make_train_step(..., zero_shard=True)``'s in/out specs."""
     n_dev = mesh.devices.size
     rep = NamedSharding(mesh, P())
     opt = jax.tree_util.tree_map(
-        lambda l: NamedSharding(mesh, P(DATA_AXIS))
-        if _zero_shardable(l, n_dev)
-        else rep,
-        state.opt_state,
+        lambda spec: NamedSharding(mesh, spec),
+        _zero_opt_partition_specs(state.opt_state, state.trainable, n_dev),
     )
     return TrainState(
         trainable=jax.tree_util.tree_map(lambda _: rep, state.trainable),
@@ -283,6 +328,7 @@ def make_train_step(
     max_grad_norm: Optional[float] = None,
     zero_shard: bool = False,
     zero_opt_state=None,
+    zero_params=None,
     accum_dtype: Optional[str] = None,
     grad_hist_every: Optional[int] = None,
     grad_hist_bins: int = 64,
@@ -678,15 +724,13 @@ def make_train_step(
 
     state_spec = rep
     if zero_shard and n_dev > 1:
-        if zero_opt_state is None:
+        if zero_opt_state is None or zero_params is None:
             raise ValueError(
-                "zero_shard=True needs zero_opt_state (the optimizer-state "
-                "pytree, for per-leaf partition specs)"
+                "zero_shard=True needs zero_opt_state AND zero_params (the "
+                "optimizer-state and trainable pytrees, for param-associated "
+                "per-leaf partition specs)"
             )
-        opt_spec = jax.tree_util.tree_map(
-            lambda l: P(DATA_AXIS) if _zero_shardable(l, n_dev) else rep,
-            zero_opt_state,
-        )
+        opt_spec = _zero_opt_partition_specs(zero_opt_state, zero_params, n_dev)
         state_spec = TrainState(
             trainable=rep, frozen=rep, opt_state=opt_spec, step=rep
         )
