@@ -118,6 +118,80 @@ def test_manual_grads_match_autodiff(compute_dtype, acc_dtype, gtol, ltol):
         )
 
 
+def test_manual_split_step_with_featurize_matches_automatic():
+    """The bench/driver combination — split_update + manual_backward with
+    the on-device featurize stage (audio batches) — must track the
+    automatic split step: identical featurize/forward RNG derivation is
+    the contract (manual_grad.py microbatch mirrors train.step loss_fn)."""
+    from whisper_finetune_tpu.ops.spec_augment import FeaturizeConfig
+    from whisper_finetune_tpu.parallel import get_data_mesh
+    from whisper_finetune_tpu.train.step import (
+        TrainState,
+        make_train_step,
+        partition_params,
+        shard_batch,
+    )
+    from whisper_finetune_tpu.optim import get_optimizer
+
+    mesh = get_data_mesh()
+    n_dev = mesh.devices.size
+    dims = DIMS.replace(n_audio_layer=2, n_text_layer=2, n_mels=80)
+    conf = {
+        "type": "adamw", "muon": True, "8bit": False,
+        "muon_params": {"lr": 0.01, "momentum": 0.95},
+        "params": {"lr": 1e-3},
+        "muon_momentum_dtype": "int8",
+    }
+    # deterministic forward modulo featurize/SpecAugment randomness (shared
+    # via the same per-microbatch RNG derivation in both modes)
+    fcfg = ForwardConfig(
+        compute_dtype="float32", stochastic_depth=0.2, dsa_apply=True,
+        dsa_p=0.5, dsa_time_mask_param=6, dsa_freq_mask_param=4,
+    )
+    feat = FeaturizeConfig(n_mels=80, spec_augment=True, p=1.0)
+    rng = np.random.default_rng(13)
+    n_samples = dims.n_audio_ctx * 2 * 160
+    batch = shard_batch(mesh, {
+        "audio": jnp.asarray(
+            (rng.standard_normal((2, n_dev, n_samples)) * 0.1).astype(np.float32)
+        ),
+        "crop_frames": jnp.full((2, n_dev), n_samples // 160, jnp.int32),
+        "dec_input": jnp.asarray(
+            rng.integers(0, dims.n_vocab, (2, n_dev, DIMS.n_text_ctx)).astype(
+                np.int32
+            )
+        ),
+        "dec_output": jnp.asarray(
+            rng.integers(0, dims.n_vocab, (2, n_dev, DIMS.n_text_ctx)).astype(
+                np.int32
+            )
+        ),
+    })
+
+    def run(manual):
+        params = init_params(jax.random.PRNGKey(0), dims)
+        trainable, frozen = partition_params(params, None)
+        tx, _ = get_optimizer(trainable, conf)
+        state = TrainState(
+            trainable, frozen, tx.init(trainable), jnp.zeros((), jnp.int32)
+        )
+        step = make_train_step(
+            mesh, dims, fcfg, tx, 0.1, feat_cfg=feat, max_grad_norm=1.0,
+            accum_dtype="bfloat16", split_update=True, manual_backward=manual,
+        )
+        state, loss = step(state, batch, jax.random.PRNGKey(7))
+        return state, float(loss)
+
+    s_auto, l_auto = run(False)
+    s_man, l_man = run(True)
+    np.testing.assert_allclose(l_man, l_auto, rtol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_auto.trainable),
+        jax.tree_util.tree_leaves(s_man.trainable),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
 def test_manual_precast_matches_slice_cast():
     """precast=True (one resident compute-dtype block shadow) and the
     default per-slice barriered cast must produce identical gradients —
