@@ -88,6 +88,58 @@ def test_transcribe_batch_glue():
     assert all(isinstance(t, str) for t in texts)
 
 
+def test_transcribe_fallback_retries_only_failing_rows():
+    """Temperature-fallback retry rungs gather the still-failing rows into a
+    small bucket instead of re-decoding the full batch; the output list must
+    still be complete for every row."""
+    from whisper_finetune_tpu.models.decoding import transcribe_batch
+    from whisper_finetune_tpu.tokenizer import get_tokenizer
+
+    dims = ModelDimensions(
+        n_mels=80, n_audio_ctx=1500, n_audio_state=32, n_audio_head=2,
+        n_audio_layer=1, n_vocab=51866, n_text_ctx=448, n_text_head=2,
+        n_text_state=32, n_text_layer=1,
+    )
+    params = init_params(jax.random.PRNGKey(1), dims)
+    tok = get_tokenizer(language="de", task="transcribe")
+    audio = (
+        np.random.default_rng(5).standard_normal((3, 480000)).astype(np.float32)
+        * 0.05
+    )
+    # fail exactly the first evaluated row at rung 0 (patched compression
+    # check): rung 1 must gather the single failing row into a 1-row bucket
+    # and still fill every output slot
+    import whisper_finetune_tpu.models.decoding as dec
+
+    calls = {"n": 0}
+    real_cr = dec._compression_ratio
+
+    def fail_first(text):
+        calls["n"] += 1
+        return 1e9 if calls["n"] == 1 else real_cr(text)
+
+    dec._compression_ratio, saved = fail_first, dec._compression_ratio
+    try:
+        texts = transcribe_batch(
+            params, dims, audio, tok,
+            fcfg=ForwardConfig(compute_dtype="float32"),
+            max_len=8, temperatures=(0.0, 1.0),
+            compression_ratio_threshold=2.4,
+        )
+    finally:
+        dec._compression_ratio = saved
+    assert len(texts) == 3 and all(isinstance(t, str) for t in texts)
+    assert calls["n"] >= 4  # 3 rung-0 rows + at least the 1-row retry
+
+    # threshold no row can fail: single rung, bucket path untouched
+    texts2 = transcribe_batch(
+        params, dims, audio, tok, fcfg=ForwardConfig(compute_dtype="float32"),
+        max_len=8, temperatures=(0.0, 1.0), logprob_threshold=-1e9,
+        compression_ratio_threshold=None,
+    )
+    assert len(texts2) == 3 and all(isinstance(t, str) for t in texts2)
+
+
 def test_beam_size_one_equals_greedy():
     from whisper_finetune_tpu.models.decoding import beam_decode
 

@@ -611,11 +611,10 @@ def transcribe_batch(
     timestamp rules) is applied at every step via :func:`default_filters`;
     pass ``filters`` to override.
 
-    Note each fallback rung re-decodes the full batch (one compiled program
-    per static temperature; samples that already passed keep their earlier
-    transcript). Gathering only the failing rows would save compute on
-    mostly-clean batches at the cost of one compiled specialization per
-    bucketed retry shape — out of scope for this convenience path."""
+    Retry rungs decode only the still-failing rows, gathered into a
+    power-of-two bucket (one compiled specialization per bucket size per
+    temperature; pad rows repeat a failing row), so a single repetition
+    loop in a large batch no longer pays full-batch re-decodes."""
     from whisper_finetune_tpu.ops.spec_augment import FeaturizeConfig, featurize_impl
 
     fcfg = fcfg or ForwardConfig()
@@ -649,25 +648,37 @@ def transcribe_batch(
     texts: list = [None] * B
     needs = np.ones((B,), bool)
     for t_idx, temp in enumerate(temperatures):
+        # Retry rungs re-decode only the still-failing rows, gathered into a
+        # power-of-two bucket (bounded jit specializations: one compiled
+        # program per bucket size per temperature) and padded by repeating
+        # the first failing row; the first rung runs the full batch.
+        idx = np.nonzero(needs)[0]
+        if t_idx == 0 or len(idx) == B:
+            sel = np.arange(B)
+        else:
+            bucket = min(B, 1 << max(0, int(len(idx) - 1).bit_length()))
+            sel = np.concatenate(
+                [idx, np.repeat(idx[:1], bucket - len(idx))]
+            )
+        mel_r, init_r = mel[sel], init[sel]
         if temp == 0.0 and beam_size is not None:
             tokens, avg_lp = beam_decode(
-                params, mel, init, tokenizer.eot, dims, fcfg,
+                params, mel_r, init_r, tokenizer.eot, dims, fcfg,
                 max_len=max_len, beam_size=beam_size,
                 length_penalty=length_penalty, filters=filters,
             )
         else:
             tokens, avg_lp = greedy_decode(
-                params, mel, init, tokenizer.eot, dims, fcfg,
+                params, mel_r, init_r, tokenizer.eot, dims, fcfg,
                 max_len=max_len, temperature=float(temp),
                 rng=jax.random.PRNGKey(t_idx), filters=filters,
             )
         tokens = np.asarray(tokens)
         avg_lp = np.asarray(avg_lp)
         last = temp == temperatures[-1]
-        for i in range(B):
-            if not needs[i]:
-                continue
-            text = decode_text(tokens[i])
+        # only the first len(idx) rows of sel are real (the rest are pad)
+        for j, i in enumerate(sel[: len(idx)]):
+            text = decode_text(tokens[j])
             ok = True
             if (
                 compression_ratio_threshold is not None
@@ -676,7 +687,7 @@ def transcribe_batch(
                 ok = False
             if (
                 logprob_threshold is not None
-                and float(avg_lp[i]) < logprob_threshold
+                and float(avg_lp[j]) < logprob_threshold
             ):
                 ok = False
             if ok or last:
