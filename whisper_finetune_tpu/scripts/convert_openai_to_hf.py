@@ -251,6 +251,9 @@ def convert_openai_whisper_to_tfms(checkpoint_path: str, pytorch_dump_folder_pat
 
 
 if __name__ == "__main__":
+    from whisper_finetune_tpu.utils import apply_platform_env
+
+    apply_platform_env()
     parser = argparse.ArgumentParser()
     parser.add_argument("--checkpoint", required=True, help="OpenAI-format .pt path")
     parser.add_argument(

@@ -58,6 +58,9 @@ def main(input_path: str, output_path: str, test_merge: bool = False,
 
 
 def cli() -> None:
+    from whisper_finetune_tpu.utils import apply_platform_env
+
+    apply_platform_env()
     parser = argparse.ArgumentParser(description="Merge LoRA weights")
     parser.add_argument("--input", required=True, help="Unmerged LoRA checkpoint (.pt)")
     parser.add_argument("--output", required=True, help="Output merged checkpoint (.pt)")

@@ -65,6 +65,9 @@ def main(args) -> None:
 
 
 def cli() -> None:
+    from whisper_finetune_tpu.utils import apply_platform_env
+
+    apply_platform_env()
     parser = argparse.ArgumentParser(description="Transcribe audio files")
     parser.add_argument("audio", nargs="+", help="wav or .npy (f32 mono) files")
     parser.add_argument("--checkpoint", required=True)

@@ -421,6 +421,9 @@ def main(args) -> None:
 
 
 if __name__ == "__main__":
+    from whisper_finetune_tpu.utils import apply_platform_env
+
+    apply_platform_env()
     parser = argparse.ArgumentParser(description="Package/publish a checkpoint")
     parser.add_argument("--checkpoint", help="Local OpenAI-format .pt")
     parser.add_argument("--wandb-run", help="W&B run path entity/project/run_id")

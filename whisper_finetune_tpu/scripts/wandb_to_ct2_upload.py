@@ -56,6 +56,9 @@ def run_batch(sources, repo_ids, quantizations, workdir, local_only, convert_ct2
 
 
 if __name__ == "__main__":
+    from whisper_finetune_tpu.utils import apply_platform_env
+
+    apply_platform_env()
     parser = argparse.ArgumentParser(description="Batch checkpoint publishing")
     parser.add_argument("--pairs", help="TSV file: <source>\\t<repo-id> per line")
     parser.add_argument("--workdir", default="hub_upload")
