@@ -214,7 +214,33 @@ def _muon_flagship_tx(trainable):
     return tx
 
 
+def _wait_for_backend(tries: int = 4, delay_s: float = 120.0) -> None:
+    """Ride out a transient accelerator outage: retry backend init a few
+    times before giving up (the TPU tunnel has been observed dropping for
+    stretches; one bad minute should not cost the whole bench run).
+    WFT_BENCH_BACKEND_TRIES=1 restores fail-fast."""
+    import os
+
+    tries = int(os.environ.get("WFT_BENCH_BACKEND_TRIES", tries))
+    last = None
+    for k in range(tries):
+        try:
+            x = jnp.ones((8, 8))
+            float((x @ x).sum())
+            return
+        except Exception as e:  # noqa: BLE001 - backend init/compile errors
+            last = e
+            if k < tries - 1:
+                print(
+                    f"# backend unavailable ({type(e).__name__}); retry "
+                    f"{k + 1}/{tries - 1} in {delay_s:.0f}s"
+                )
+                time.sleep(delay_s)
+    raise SystemExit(f"accelerator backend never came up: {last}")
+
+
 def main():
+    _wait_for_backend()
     attempts = [
         ("large-v3 full fine-tune (8-bit state, bf16 accum)", "large-v3", 6, False),
         ("large-v3 LoRA r16", "large-v3", 8, True),
