@@ -412,6 +412,58 @@ def test_zero_shard_quantized_state_of_replicated_param():
     assert np.isfinite(float(loss))
 
 
+def test_zero_opt_specs_param_associated_for_muon_partition():
+    """_zero_opt_partition_specs over the real Muon+aux partition state
+    (multi_transform MaskedState trees, int8 _QMoment momentum, 8-bit aux):
+    stacked block state shards, conv/embedding state replicates with its
+    param, count scalars replicate."""
+    from whisper_finetune_tpu.optim import get_optimizer
+    from whisper_finetune_tpu.optim.quantized import _QMoment
+    from whisper_finetune_tpu.train.step import _zero_opt_partition_specs
+
+    n_dev = 8
+    dims = DIMS.replace(
+        n_audio_state=64, n_text_state=64, n_audio_layer=n_dev,
+        n_text_layer=n_dev,
+    )
+    params = init_params(jax.random.PRNGKey(0), dims)
+    trainable, _ = partition_params(params, None)
+    conf = {
+        "type": "adamw", "muon": True, "8bit": True,
+        "muon_params": {"lr": 1e-4, "momentum": 0.95},
+        "params": {"lr": 1e-4},
+        "muon_momentum_dtype": "int8",
+        "muon_aux_8bit": True,
+    }
+    tx, _ = get_optimizer(
+        trainable, conf, data_shard_axis="data", data_axis_size=n_dev
+    )
+    opt_state = jax.eval_shape(tx.init, trainable)
+    specs = _zero_opt_partition_specs(opt_state, trainable, n_dev)
+
+    P = jax.sharding.PartitionSpec
+    flat, _ = jax.tree_util.tree_flatten_with_path(
+        specs, is_leaf=lambda x: isinstance(x, _QMoment)
+    )
+    sharded = rep = 0
+    for path, leaf in flat:
+        keys = [getattr(k, "key", getattr(k, "name", k)) for k in path]
+        spec = leaf.codes if isinstance(leaf, _QMoment) else leaf
+        if ("conv1" in keys or "conv2" in keys) and keys[-1] == "w":
+            # conv kernels: leading axis 3 -> the param replicates, so its
+            # state must too (conv BIASES (64,) legitimately shard)
+            assert spec == P(), f"conv kernel state must replicate: {keys}"
+            rep += 1
+        elif "blocks" in keys and (
+            isinstance(leaf, _QMoment) or getattr(leaf, "ndim", 0) >= 1
+        ):
+            assert spec == P("data"), f"stacked state must shard: {keys}"
+            sharded += 1
+        elif keys and keys[-1] == "count":
+            assert spec == P(), f"count must replicate: {keys}"
+    assert sharded > 0 and rep > 0
+
+
 def test_zero_fused_matches_unfused():
     """The one-pass fused update running on ZeRO shards must produce the
     same parameters and quantized state as the generic shard-update-gather
