@@ -107,6 +107,11 @@ _TRAINING_DEFAULTS: Dict[str, Any] = {
     # on a 16 GB chip. "auto" enables it when split_optimizer_step is
     # active and the whole tree trains (no LoRA / train_only_*).
     "manual_backward": "auto",
+    # Extension: under manual_backward, cast each block stack to the
+    # compute dtype once per microbatch (a resident bf16 shadow; faster
+    # weight streaming) instead of the default per-layer barriered slice
+    # cast (the tightest memory shape). Enable only with HBM headroom.
+    "manual_precast_weights": False,
     # Extension: attention implementation. "auto" (default) picks the
     # measured-fastest per-site mix for the platform (splash Pallas kernels
     # for encoder self-attention on TPU, XLA everywhere else and off-TPU);

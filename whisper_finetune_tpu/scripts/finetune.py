@@ -912,6 +912,9 @@ def main(config: Dict) -> None:
         grad_hist_every=int(config["training"]["val_steps"]),
         split_update=bool(split_update),
         manual_backward=bool(manual_backward),
+        manual_precast=bool(
+            config["training"].get("manual_precast_weights", False)
+        ),
     )
     eval_step = make_eval_step(dims, fcfg, n_mels=dims.n_mels)
 
