@@ -762,3 +762,108 @@ def test_split_update_matches_single_program():
             np.asarray(x), np.asarray(y), atol=1e-5,
             err_msg="split-update clipped trajectory drifted",
         )
+
+
+def test_zero_muon_matches_replicated():
+    """The configured v5e-8 flagship combination — Muon (fused one-pass
+    update, int8-quantized momentum, 8-bit aux AdamW) under ZeRO-1
+    optimizer sharding — must reproduce the replicated (non-ZeRO) fused
+    trajectory: 2 steps on the 8-device mesh, parameters AND momentum
+    codes compared. Under ZeRO the Muon transform is built WITHOUT its
+    internal NS sharding (finetune.py passes data_shard_axis=None when
+    zero_shard is on) and the ZeRO branch slices grads/params/state on the
+    stacked layer axis instead; Newton-Schulz is batched over that axis, so
+    per-shard NS is exactly per-layer NS and the two paths agree to fp32
+    round-off."""
+    from whisper_finetune_tpu.optim import get_optimizer
+    from whisper_finetune_tpu.optim.quantized import _QMoment
+    from whisper_finetune_tpu.train.step import zero_state_sharding
+
+    mesh = get_data_mesh()
+    n_dev = mesh.devices.size
+    dims = DIMS.replace(n_audio_layer=n_dev, n_text_layer=n_dev)
+    conf = {
+        "type": "adamw", "muon": True, "8bit": False,
+        "muon_params": {"lr": 1e-3, "momentum": 0.95, "weight_decay": 0.01},
+        "params": {"lr": 1e-3, "weight_decay": 0.01},
+        "muon_momentum_dtype": "int8",
+        "muon_aux_8bit": True,
+    }
+
+    rng = np.random.default_rng(17)
+    batch = shard_batch(mesh, {
+        "mel": jnp.asarray(rng.standard_normal(
+            (1, 8, dims.n_mels, dims.n_audio_ctx * 2)).astype(np.float32)),
+        "dec_input": jnp.asarray(
+            rng.integers(0, dims.n_vocab, (1, 8, dims.n_text_ctx)).astype(np.int32)),
+        "dec_output": jnp.asarray(
+            rng.integers(0, dims.n_vocab, (1, 8, dims.n_text_ctx)).astype(np.int32)),
+    })
+    key = jax.random.PRNGKey(0)
+
+    def run(zero):
+        params = init_params(jax.random.PRNGKey(3), dims)
+        trainable, frozen = partition_params(params, None)
+        # ZeRO and replicated both build the transform WITHOUT internal NS
+        # sharding: that is exactly what scripts/finetune.py does under
+        # zero_shard (the ZeRO branch's take_shard does the slicing).
+        tx, _ = get_optimizer(trainable, conf)
+        state = TrainState(
+            trainable, frozen, tx.init(trainable), jnp.zeros((), jnp.int32)
+        )
+        if zero:
+            state = jax.device_put(state, zero_state_sharding(mesh, state))
+        step_fn = make_train_step(
+            mesh, dims, FCFG, tx, max_grad_norm=1.0,
+            zero_shard=zero,
+            zero_opt_state=state.opt_state if zero else None,
+            zero_params=state.trainable if zero else None,
+        )
+        losses = []
+        for _ in range(2):
+            state, loss = step_fn(state, batch, key)
+            losses.append(float(loss))
+        return state, losses
+
+    s_zero, l_zero = run(True)
+    s_rep, l_rep = run(False)
+
+    assert l_zero == pytest.approx(l_rep, abs=1e-6)
+    # Two separate compilations + different reduction shapes (psum_scatter
+    # shards vs full pmean) give a few ulp of gradient jitter, which the
+    # int8/8-bit quantizers round to occasional ±1 code flips at block
+    # boundaries; one flipped code moves that element by up to ~a code unit
+    # after the update. So the check is statistical: the bulk must be
+    # bit-tight and the rare code-flip outliers bounded well below one
+    # step's update (~2e-4 = lr·rms_factor). A real ZeRO/replicated math
+    # divergence would shift entire leaves by order-of-update.
+    diffs = np.concatenate([
+        np.abs(np.asarray(a) - np.asarray(b)).ravel()
+        for a, b in zip(
+            jax.tree_util.tree_leaves(s_zero.trainable),
+            jax.tree_util.tree_leaves(s_rep.trainable),
+        )
+    ])
+    assert np.quantile(diffs, 0.999) < 2e-5, (
+        "ZeRO Muon parameters diverged from replicated in bulk"
+    )
+    assert diffs.max() < 1e-4, (
+        f"ZeRO Muon outlier beyond a quantizer code flip: {diffs.max()}"
+    )
+    # optimizer state: int8 codes (Muon momentum + aux AdamW moments) agree
+    # to <=1 code unit, everything else (scales, counts, fp state) tightly
+    za = jax.tree_util.tree_leaves(jax.device_get(s_zero.opt_state))
+    zb = jax.tree_util.tree_leaves(jax.device_get(s_rep.opt_state))
+    assert len(za) == len(zb) and len(za) > 4
+    for a, b in zip(za, zb):
+        if getattr(a, "dtype", None) == jnp.int8:
+            np.testing.assert_allclose(
+                np.asarray(a).astype(np.int32),
+                np.asarray(b).astype(np.int32), atol=1,
+                err_msg="quantized optimizer state codes diverged",
+            )
+        else:
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6,
+                err_msg="optimizer state diverged",
+            )
