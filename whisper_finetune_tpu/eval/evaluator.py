@@ -35,6 +35,29 @@ from whisper_finetune_tpu.models.whisper import ForwardConfig, forward_impl
 from whisper_finetune_tpu.ops.spec_augment import FeaturizeConfig, featurize_impl
 
 
+def eval_forward_config(fcfg: ForwardConfig) -> ForwardConfig:
+    """Derive the teacher-forced eval ForwardConfig from the train one:
+    keep everything that changes the math at inference (compute dtype, LoRA
+    scale, the full attention-impl mix incl. per-site overrides — with
+    ``attn_impl: auto`` the measured TPU mix is base xla + encoder/cross
+    splash, ops/attention.py, and the 1500-frame encoder eval forward is
+    exactly where the splash win matters) and strip train-only features
+    (remat, stochastic depth, deep SpecAugment, LoRA dropout)."""
+    return ForwardConfig(
+        compute_dtype=fcfg.compute_dtype,
+        remat_encoder=False,
+        remat_encoder_last_only=False,
+        remat_decoder=False,
+        stochastic_depth=0.0,
+        dsa_apply=False,
+        lora_scale=fcfg.lora_scale,
+        attn_impl=fcfg.attn_impl,
+        attn_impl_encoder=fcfg.attn_impl_encoder,
+        attn_impl_decoder=fcfg.attn_impl_decoder,
+        attn_impl_cross=fcfg.attn_impl_cross,
+    )
+
+
 def make_eval_step(
     dims: ModelDimensions, fcfg: ForwardConfig, n_mels: Optional[int] = None
 ) -> Callable:
@@ -46,16 +69,7 @@ def make_eval_step(
     entropy, max-prob confidence. Masking by -100 happens host-side (the
     mask is data, the stats are device math).
     """
-    eval_fcfg = ForwardConfig(
-        compute_dtype=fcfg.compute_dtype,
-        remat_encoder=False,
-        remat_encoder_last_only=False,
-        remat_decoder=False,
-        stochastic_depth=0.0,
-        dsa_apply=False,
-        lora_scale=fcfg.lora_scale,
-        attn_impl=fcfg.attn_impl,
-    )
+    eval_fcfg = eval_forward_config(fcfg)
     feat_cfg = FeaturizeConfig(n_mels=n_mels or dims.n_mels)
 
     @jax.jit

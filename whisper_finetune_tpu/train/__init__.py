@@ -1,13 +1,11 @@
 from whisper_finetune_tpu.train.step import (
     TrainState,
     cross_entropy_loss,
-    make_eval_forward,
     make_train_step,
 )
 
 __all__ = [
     "TrainState",
     "cross_entropy_loss",
-    "make_eval_forward",
     "make_train_step",
 ]

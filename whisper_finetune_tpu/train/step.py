@@ -900,27 +900,3 @@ def shard_batch(mesh: Mesh, batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndar
     return {k: jax.device_put(v, sharding) for k, v in batch.items()}
 
 
-def make_eval_forward(
-    dims: ModelDimensions, fcfg: ForwardConfig
-) -> Callable[[Params, jnp.ndarray, jnp.ndarray], jnp.ndarray]:
-    """Teacher-forced eval forward (no generation — reference evaluator.py:69-73).
-    Returns fp32 logits."""
-    eval_fcfg = ForwardConfig(
-        compute_dtype=fcfg.compute_dtype,
-        remat_encoder=False,
-        remat_encoder_last_only=False,
-        remat_decoder=False,
-        stochastic_depth=0.0,
-        dsa_apply=False,
-        lora_scale=fcfg.lora_scale,  # unmerged adapters still apply at eval
-        attn_impl=fcfg.attn_impl,
-        attn_impl_encoder=fcfg.attn_impl_encoder,
-        attn_impl_decoder=fcfg.attn_impl_decoder,
-        attn_impl_cross=fcfg.attn_impl_cross,
-    )
-
-    @jax.jit
-    def eval_forward(params, mel, dec_in):
-        return forward_impl(params, mel, dec_in, dims, eval_fcfg, train=False)
-
-    return eval_forward
