@@ -146,7 +146,22 @@ def process_dataset(
 ):
     """Load, normalize, filter, subsample and concatenate the configured
     datasets (reference data/utils.py:238-352). Returns the concatenated
-    dataset, plus per-dataset sizes when ``return_sizes``."""
+    dataset, plus per-dataset sizes when ``return_sizes``.
+
+    Two deliberate divergences from the reference (PARITY.md §2a row 13):
+
+    - Missing-split fallback is **per dataset**: the reference mutates its
+      loop variable (data/utils.py:286-293 rebinds ``split_name``), so one
+      dataset missing the requested split silently switches every LATER
+      dataset in the list to the fallback split even when they have the
+      requested one. That sticky behavior looks like a reference bug on
+      multi-dataset configs with heterogeneous splits; here ``use_split``
+      is re-derived from the configured ``split_name`` for each dataset.
+    - The reference's ``print_examples``/``example_count`` debug params
+      (data/utils.py:243-244,253-258: print a few filtered rows) are not
+      carried — no config YAML in the reference corpus sets them, and the
+      loader's lazy skip logs invalid rows as they surface instead.
+    """
     from datasets import concatenate_datasets
 
     if rng is None:
