@@ -224,13 +224,16 @@ def _muon_flagship_tx(trainable):
     return tx
 
 
-def _load_stale_result():
-    """Last committed bench measurement (highest-round BENCH_r*.json with a
-    non-null parse), echoed when the accelerator is down so the round
-    artifact is never empty. Returns (record_or_None, source_name)."""
+def _load_stale_result(base: str = None):
+    """Last committed bench measurement, echoed when the accelerator is
+    down so the round artifact is never empty. Sources, newest wins:
+    driver artifacts (highest-round BENCH_r*.json with a non-null parse)
+    and docs/logs/chip_queue_bench.json (a mid-round measurement committed
+    from tools/run_chip_queue.py, which outranks all driver rounds it
+    names in "after_round"). Returns (record_or_None, source_name)."""
+    here = base or os.path.dirname(__file__) or "."
     best, best_n, best_src = None, -1, None
-    for path in glob.glob(os.path.join(os.path.dirname(__file__) or ".",
-                                       "BENCH_r*.json")):
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         try:
             with open(path) as f:
                 doc = json.load(f)
@@ -240,6 +243,16 @@ def _load_stale_result():
         n = doc.get("n", 0)
         if parsed and isinstance(parsed, dict) and n > best_n:
             best, best_n, best_src = parsed, n, os.path.basename(path)
+    queue_path = os.path.join(here, "docs", "logs", "chip_queue_bench.json")
+    try:
+        with open(queue_path) as f:
+            doc = json.load(f)
+        primary = doc.get("primary")
+        if (isinstance(primary, dict) and primary.get("value")
+                and doc.get("after_round", -1) >= best_n):
+            best, best_src = primary, os.path.basename(queue_path)
+    except (OSError, json.JSONDecodeError):
+        pass
     return best, best_src
 
 

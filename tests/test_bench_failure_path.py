@@ -35,3 +35,31 @@ def test_bench_emits_json_when_backend_unavailable():
     assert stale["stale"] is True
     assert stale["unit"] == "audio-hours/sec/chip"
     assert stale["value"] > 0
+
+
+def test_stale_result_prefers_newer_chip_queue_measurement(tmp_path):
+    """A mid-round measurement persisted by tools/run_chip_queue.py
+    (docs/logs/chip_queue_bench.json) outranks the driver rounds it names
+    in after_round, but an older queue file loses to a newer driver
+    artifact."""
+    sys.path.insert(0, REPO)
+    from bench import _load_stale_result
+
+    (tmp_path / "BENCH_r02.json").write_text(json.dumps(
+        {"n": 2, "parsed": {"value": 0.05, "unit": "audio-hours/sec/chip"}}))
+    rec, src = _load_stale_result(str(tmp_path))
+    assert (rec["value"], src) == (0.05, "BENCH_r02.json")
+
+    qdir = tmp_path / "docs" / "logs"
+    qdir.mkdir(parents=True)
+    queue = qdir / "chip_queue_bench.json"
+    queue.write_text(json.dumps(
+        {"after_round": 2, "primary": {"value": 0.061}}))
+    rec, src = _load_stale_result(str(tmp_path))
+    assert (rec["value"], src) == (0.061, "chip_queue_bench.json")
+
+    # A later driver round supersedes the queue measurement.
+    (tmp_path / "BENCH_r04.json").write_text(json.dumps(
+        {"n": 4, "parsed": {"value": 0.058}}))
+    rec, src = _load_stale_result(str(tmp_path))
+    assert (rec["value"], src) == (0.058, "BENCH_r04.json")
