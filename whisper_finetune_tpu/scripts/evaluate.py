@@ -37,9 +37,16 @@ def main(args) -> None:
     from whisper_finetune_tpu.parallel import get_data_mesh
     from whisper_finetune_tpu.tokenizer import get_tokenizer
 
+    from whisper_finetune_tpu.ops.attention import resolve_auto_impls
+
     params, dims = load_model(args.checkpoint)
     tokenizer = get_tokenizer(multilingual=True, language=args.language, task="transcribe")
-    fcfg = ForwardConfig(compute_dtype=args.dtype)
+    # Same attention resolution as the training driver (finetune.py): on
+    # TPU "auto" is the measured mix (encoder/cross splash — the
+    # 1500-frame eval encoder is exactly where the splash win matters).
+    attn_kwargs = (resolve_auto_impls() if args.attn_impl == "auto"
+                   else {"attn_impl": args.attn_impl})
+    fcfg = ForwardConfig(compute_dtype=args.dtype, **attn_kwargs)
     eval_step = make_eval_step(dims, fcfg, n_mels=dims.n_mels)
     mesh = get_data_mesh()
 
@@ -77,6 +84,8 @@ def cli() -> None:
     parser.add_argument("--select-n", type=int, default=None)
     parser.add_argument("--language", default="de")
     parser.add_argument("--dtype", default="bfloat16")
+    parser.add_argument("--attn-impl", default="auto",
+                        help="xla | flash | splash | auto (measured TPU mix)")
     main(parser.parse_args())
 
 
