@@ -196,3 +196,25 @@ def test_temperature_sampling_reproducible_and_varied():
     )
     np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
     assert not np.array_equal(np.asarray(a1), np.asarray(b))
+
+
+def test_decode_eval_fcfg_keeps_attention_mix():
+    """The decode-path encoder forward must carry the per-site attention
+    mix (with attn_impl: auto the 1500-frame encoder is where the measured
+    splash win lands) while stripping train-only features — the decoding
+    twin of eval.evaluator.eval_forward_config."""
+    from whisper_finetune_tpu.models import ForwardConfig
+    from whisper_finetune_tpu.models.decoding import _eval_fcfg
+
+    train = ForwardConfig(
+        compute_dtype="bfloat16", remat_encoder=True, remat_decoder=True,
+        stochastic_depth=0.2, dsa_apply=True, lora_scale=2.0,
+        attn_impl="xla", attn_impl_encoder="splash", attn_impl_cross="splash",
+    )
+    out = _eval_fcfg(train)
+    for f in ("compute_dtype", "lora_scale", "attn_impl",
+              "attn_impl_encoder", "attn_impl_decoder", "attn_impl_cross"):
+        assert getattr(out, f) == getattr(train, f), f
+    assert out.enc_attn == "splash"
+    assert not out.remat_encoder and not out.remat_decoder
+    assert out.stochastic_depth == 0.0 and not out.dsa_apply

@@ -219,11 +219,20 @@ def _single_query_attention(q, k, v, n_head, dtype, mask=None):
 
 
 def _eval_fcfg(fcfg: ForwardConfig) -> ForwardConfig:
+    """Inference ForwardConfig for the encoder pass: keep the math-relevant
+    fields incl. the per-site attention mix (the 1500-frame encoder forward
+    is where the measured splash win lands; the decoder itself runs the
+    KV-cached single-query path below, not block attention), strip
+    train-only features."""
     return ForwardConfig(
         compute_dtype=fcfg.compute_dtype,
         remat_encoder=False,
         remat_decoder=False,
         lora_scale=fcfg.lora_scale,
+        attn_impl=fcfg.attn_impl,
+        attn_impl_encoder=fcfg.attn_impl_encoder,
+        attn_impl_decoder=fcfg.attn_impl_decoder,
+        attn_impl_cross=fcfg.attn_impl_cross,
     )
 
 

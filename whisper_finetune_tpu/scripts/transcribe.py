@@ -41,6 +41,7 @@ def load_audio(path: str, target_sr: int = 16000) -> np.ndarray:
 def main(args) -> None:
     from whisper_finetune_tpu.models import ForwardConfig, load_model
     from whisper_finetune_tpu.models.decoding import transcribe_batch
+    from whisper_finetune_tpu.ops.attention import resolve_auto_impls
     from whisper_finetune_tpu.tokenizer import get_tokenizer
 
     params, dims = load_model(args.checkpoint)
@@ -52,9 +53,14 @@ def main(args) -> None:
         audio = load_audio(path)[:480000]
         batch[i, : len(audio)] = audio
 
+    # Same attention resolution as the training driver: on TPU "auto" is
+    # the measured mix (encoder/cross splash); the decode loop itself uses
+    # the KV-cached single-query path regardless.
+    attn_kwargs = (resolve_auto_impls() if args.attn_impl == "auto"
+                   else {"attn_impl": args.attn_impl})
     texts = transcribe_batch(
         params, dims, batch, tokenizer,
-        fcfg=ForwardConfig(compute_dtype=args.dtype),
+        fcfg=ForwardConfig(compute_dtype=args.dtype, **attn_kwargs),
         language=args.language, max_len=args.max_len,
         beam_size=args.beam_size,
         temperatures=tuple(args.temperatures),
@@ -74,6 +80,8 @@ def cli() -> None:
     parser.add_argument("--language", default="de")
     parser.add_argument("--max-len", type=int, default=224)
     parser.add_argument("--dtype", default="bfloat16")
+    parser.add_argument("--attn-impl", default="auto",
+                        help="xla | flash | splash | auto (measured TPU mix)")
     parser.add_argument("--beam-size", type=int, default=None,
                         help="beam search width at temperature 0 (default greedy)")
     parser.add_argument("--temperatures", type=float, nargs="+",
