@@ -5,6 +5,8 @@ The golden test mirrors the reference's approach of validating against a
 known-good implementation (its tests stub openai-whisper; we have the real
 HF port available and compare full fp32 logits)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -406,3 +408,106 @@ def test_slice_cast_matches_precast(tiny_params):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4
         )
+
+
+def test_fetch_checkpoint_sha256_contract(tmp_path, monkeypatch):
+    """SHA256-verified official-checkpoint fetch (reference
+    convert_openai_to_hf.py:134-169 behavior), exercised offline over a
+    file:// base URL: fresh download verifies, a valid cached file is
+    reused without touching the network, a corrupt cached file warns and
+    re-downloads, and a corrupt download is a hard error."""
+    import hashlib
+    import warnings
+
+    import pytest
+
+    from whisper_finetune_tpu.models import checkpoint as ckpt_mod
+    from whisper_finetune_tpu.models.checkpoint import fetch_checkpoint
+
+    payload = b"not a real checkpoint, just bytes to hash"
+    sha = hashlib.sha256(payload).hexdigest()
+    serve = tmp_path / "serve" / sha
+    serve.mkdir(parents=True)
+    (serve / "tiny.pt").write_bytes(payload)
+    monkeypatch.setitem(ckpt_mod._OFFICIAL_SHA256, "tiny", sha)
+    monkeypatch.setenv(
+        "WFT_CHECKPOINT_BASE_URL", (tmp_path / "serve").as_uri()
+    )
+    root = str(tmp_path / "cache")
+
+    # fresh download verifies and lands as <root>/tiny.pt
+    path = fetch_checkpoint("tiny", root)
+    assert path.endswith("tiny.pt")
+    assert open(path, "rb").read() == payload
+
+    # valid cache is reused without any fetch (dead base URL proves it)
+    monkeypatch.setenv("WFT_CHECKPOINT_BASE_URL",
+                       (tmp_path / "nowhere").as_uri())
+    assert fetch_checkpoint("tiny", root) == path
+
+    # corrupt cache warns and re-downloads
+    monkeypatch.setenv("WFT_CHECKPOINT_BASE_URL",
+                       (tmp_path / "serve").as_uri())
+    with open(path, "wb") as f:
+        f.write(b"corrupted")
+    with pytest.warns(UserWarning, match="checksum does not match"):
+        assert open(fetch_checkpoint("tiny", root), "rb").read() == payload
+
+    # corrupt download is a hard error
+    (serve / "tiny.pt").write_bytes(b"tampered in transit")
+    os.remove(path)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        with pytest.raises(RuntimeError, match="SHA256"):
+            fetch_checkpoint("tiny", root)
+
+    # unknown names are rejected up front
+    with pytest.raises(ValueError, match="No official checkpoint digest"):
+        fetch_checkpoint("large-v3-turbo", root)
+
+
+def test_load_model_download_opt_in(tmp_path, monkeypatch):
+    """load_model fetches a missing preset only with WFT_ALLOW_DOWNLOAD=1,
+    into WHISPER_CHECKPOINT_DIR, and the fetched file round-trips through
+    load_checkpoint."""
+    import hashlib
+
+    from whisper_finetune_tpu.models import checkpoint as ckpt_mod
+    from whisper_finetune_tpu.models.checkpoint import (
+        load_model,
+        save_checkpoint,
+    )
+    from whisper_finetune_tpu.models.dims import MODEL_PRESETS
+    from whisper_finetune_tpu.models.whisper import init_params
+
+    dims = MODEL_PRESETS["tiny"]
+    params = init_params(jax.random.PRNGKey(0), dims)
+    staging = tmp_path / "staging.pt"
+    save_checkpoint(str(staging), params, dims)
+    payload = staging.read_bytes()
+    sha = hashlib.sha256(payload).hexdigest()
+    serve = tmp_path / "serve" / sha
+    serve.mkdir(parents=True)
+    (serve / "tiny.pt").write_bytes(payload)
+
+    monkeypatch.setitem(ckpt_mod._OFFICIAL_SHA256, "tiny", sha)
+    monkeypatch.setenv("WFT_CHECKPOINT_BASE_URL",
+                       (tmp_path / "serve").as_uri())
+    monkeypatch.setenv("WHISPER_CHECKPOINT_DIR", str(tmp_path / "ckpts"))
+    monkeypatch.delenv("WFT_ALLOW_RANDOM_INIT", raising=False)
+    monkeypatch.delenv("WFT_ALLOW_DOWNLOAD", raising=False)
+
+    # without the opt-in: the offline hard error, which names the knob
+    with pytest.raises(FileNotFoundError, match="WFT_ALLOW_DOWNLOAD"):
+        load_model("tiny")
+
+    monkeypatch.setenv("WFT_ALLOW_DOWNLOAD", "1")
+    loaded, dims2 = load_model("tiny")
+    assert dims2 == dims
+    assert os.path.isfile(tmp_path / "ckpts" / "tiny.pt")
+    a = jax.tree_util.tree_leaves(loaded)
+    b = jax.tree_util.tree_leaves(params)
+    assert len(a) == len(b)
+    np.testing.assert_array_equal(
+        np.asarray(a[0]), np.asarray(b[0]).astype(np.float16).astype(a[0].dtype)
+    )

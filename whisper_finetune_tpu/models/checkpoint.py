@@ -241,13 +241,92 @@ def save_checkpoint(path: str, params: Params, dims: ModelDimensions) -> None:
     torch.save({"model_state_dict": tensors, "dims": dims.to_dict()}, path)
 
 
+# Official OpenAI checkpoint digests (reference convert_openai_to_hf.py
+# :37-50 embeds these as full URLs; the URL layout is
+# <base>/<sha256>/<name>.pt, so only the digests are stored and the URL is
+# derived). large-v3-turbo is not in the reference's table and is
+# deliberately absent here — no unverifiable downloads.
+_OFFICIAL_BASE_URL = "https://openaipublic.azureedge.net/main/whisper/models"
+_OFFICIAL_SHA256 = {
+    "tiny.en": "d3dd57d32accea0b295c96e26691aa14d8822fac7d9d27d5dc00b4ca2826dd03",
+    "tiny": "65147644a518d12f04e32d6f3b26facc3f8dd46e5390956a9424a650c0ce22b9",
+    "base.en": "25a8566e1d0c1e2231d1c762132cd20e0f96a85d16145c3a00adf5d1ac670ead",
+    "base": "ed3a0b6b1c0edf879ad9b11b1af5a0e6ab5db9205f891f668f8b0e6c6326e34e",
+    "small.en": "f953ad0fd29cacd07d5a9eda5624af0f6bcf2258be67c92b79389873d91e0872",
+    "small": "9ecf779972d90ba49c06d968637d720dd632c55bbf19d441fb42bf17a411e794",
+    "medium.en": "d7440d1dc186f76616474e0ff0b3b6b879abc9d1a4926b7adfa41db2d497ab4f",
+    "medium": "345ae4da62f9b3d59415adc60127b97c714f32e89e936602e85993674d08dcb1",
+    "large": "e4b87e7e0bf463eb8e6956e646f1e277e901512310def2c24bf0e11bd3c28e9a",
+    "large-v2": "81f7c96c852ee8fc832187b0132e569d6c3065a3252ed18e56effd0b6a73e524",
+    "large-v3": "e5b1a55b89c1367dacf97e3e19bfd829a01529dbfdeefa8caeb59b3f1b81dadb",
+}
+
+
+def _sha256_file(path: str) -> str:
+    import hashlib
+
+    digest = hashlib.sha256()
+    with open(path, "rb") as fp:
+        for chunk in iter(lambda: fp.read(1 << 20), b""):
+            digest.update(chunk)
+    return digest.hexdigest()
+
+
+def fetch_checkpoint(name: str, root: str) -> str:
+    """SHA256-verified download of an official OpenAI checkpoint into
+    ``root`` and return its path (reference convert_openai_to_hf.py
+    :134-169 behavior): a cached file whose digest matches is reused, a
+    cached mismatch warns and re-downloads, and a post-download mismatch
+    is a hard error. The base URL is overridable via
+    ``WFT_CHECKPOINT_BASE_URL`` (tests point it at ``file://`` trees; the
+    same knob serves internal mirrors)."""
+    import urllib.request
+    import warnings
+
+    expected = _OFFICIAL_SHA256.get(name)
+    if expected is None:
+        raise ValueError(
+            f"No official checkpoint digest for '{name}' "
+            f"(available: {', '.join(sorted(_OFFICIAL_SHA256))})"
+        )
+    os.makedirs(root, exist_ok=True)
+    target = os.path.join(root, f"{name}.pt")
+    if os.path.exists(target) and not os.path.isfile(target):
+        raise RuntimeError(f"{target} exists and is not a regular file")
+    if os.path.isfile(target):
+        if _sha256_file(target) == expected:
+            return target
+        warnings.warn(
+            f"{target} exists, but the SHA256 checksum does not match; "
+            "re-downloading"
+        )
+    base = os.environ.get("WFT_CHECKPOINT_BASE_URL", _OFFICIAL_BASE_URL)
+    url = f"{base}/{expected}/{name}.pt"
+    print(f"Downloading {url}")
+    with urllib.request.urlopen(url) as source, open(target, "wb") as out:
+        while True:
+            buf = source.read(1 << 20)
+            if not buf:
+                break
+            out.write(buf)
+    if _sha256_file(target) != expected:
+        raise RuntimeError(
+            f"Downloaded {name}.pt but the SHA256 checksum does not match; "
+            "retry the download."
+        )
+    return target
+
+
 def load_model(name: str) -> Tuple[Params, ModelDimensions]:
     """Resolve a model by checkpoint path or preset name.
 
     The reference's ``whisper.load_model(name)`` downloads official weights;
     in this offline-first framework, a file path loads that checkpoint and a
     preset name (``tiny`` .. ``large-v3-turbo``) loads
-    ``$WHISPER_CHECKPOINT_DIR/<name>.pt``.
+    ``$WHISPER_CHECKPOINT_DIR/<name>.pt``. With ``WFT_ALLOW_DOWNLOAD=1`` a
+    missing preset is fetched from the official distribution with SHA256
+    verification (:func:`fetch_checkpoint`) into that directory (default
+    ``~/.cache/whisper_finetune_tpu``).
 
     Missing pretrained weights are a HARD ERROR: silently fine-tuning a
     random init would burn a full run and produce garbage WER. Tests and
@@ -267,12 +346,17 @@ def load_model(name: str) -> Tuple[Params, ModelDimensions]:
         if os.path.isfile(candidate):
             return load_checkpoint(candidate)
 
+    if os.environ.get("WFT_ALLOW_DOWNLOAD") and name in _OFFICIAL_SHA256:
+        root = ckpt_dir or os.path.expanduser("~/.cache/whisper_finetune_tpu")
+        return load_checkpoint(fetch_checkpoint(name, root))
+
     if not os.environ.get("WFT_ALLOW_RANDOM_INIT"):
         raise FileNotFoundError(
             f"No pretrained checkpoint for preset '{name}'. Point "
             f"WHISPER_CHECKPOINT_DIR at a directory containing {name}.pt "
             "(an OpenAI-format whisper checkpoint), pass an explicit "
-            "checkpoint path as model.init_name, or set "
+            "checkpoint path as model.init_name, set WFT_ALLOW_DOWNLOAD=1 "
+            "to fetch the official checkpoint (SHA256-verified), or set "
             "WFT_ALLOW_RANDOM_INIT=1 to deliberately train from random "
             "initialization."
         )

@@ -5,9 +5,10 @@ Capability parity with the reference's convert_openai_to_hf.py: the
 OpenAI<->HF key-rename map (:89-124), dims -> WhisperConfig (:194-210), tied
 embeddings exposed as ``proj_out`` (:223-226), and multilinguality /
 num_languages inference from the vocab size (:229-230). The reference's
-SHA256-verified *download* path (:134-169) is intentionally absent — this
-framework is offline-first and converts local checkpoints (its own training
-outputs or any OpenAI-format ``.pt``).
+SHA256-verified *download* (:134-169) lives in the model-IO layer instead
+(models/checkpoint.py fetch_checkpoint, opt-in via WFT_ALLOW_DOWNLOAD):
+this framework is offline-first and converts local checkpoints (its own
+training outputs or any OpenAI-format ``.pt``).
 
 Usage:
     python -m whisper_finetune_tpu.scripts.convert_openai_to_hf \
