@@ -225,6 +225,18 @@ CASES = {
     "batch8": (8, {}),
     "batch7": (7, {}),
     "cross_splash_batch7": (7, {"attn_impl_cross": "splash"}),
+    "cross_splash_batch8": (8, {"attn_impl_cross": "splash"}),
+    # batch 7 + the nocast save-set: the reduction-form CE freed the fp32
+    # log-softmax tree (~0.18 GB/sample), which may fund one more sample
+    # on top of the 3.1 GB the barriered nocast already frees
+    "cs_nocast_save_enc_qkv_b7": (
+        7,
+        {
+            "attn_impl_cross": "splash",
+            "precast_weights": False,
+            "remat_policy": "save:enc_qkv",
+        },
+    ),
     # two steps in one XLA program: overlap optimizer tail with next fwd
     "unroll2": (6, {}, 2),
     "unroll2_cross_splash": (6, {"attn_impl_cross": "splash"}, 2),

@@ -49,6 +49,8 @@ DEFAULT_LADDER_CASES = [
     "cs_nocast_save_enc_ln",
     "cross_splash_nocast",
     "cross_splash_batch7",
+    "cross_splash_batch8",
+    "cs_nocast_save_enc_qkv_b7",
     "unroll2_cross_splash",
 ]
 # Ladder case name -> (bench primary env overrides, batch). Mirrors
@@ -73,6 +75,10 @@ LADDER_TO_BENCH = {
     "cross_splash_nocast": (
         {"attn_impl_cross": "splash", "precast_weights": False}, 6),
     "cross_splash_batch7": ({"attn_impl_cross": "splash"}, 7),
+    "cross_splash_batch8": ({"attn_impl_cross": "splash"}, 8),
+    "cs_nocast_save_enc_qkv_b7": (
+        {"attn_impl_cross": "splash", "precast_weights": False,
+         "remat_policy": "save:enc_qkv"}, 7),
     "unroll2_cross_splash": ({"attn_impl_cross": "splash"}, 6),
 }
 
@@ -131,7 +137,11 @@ def run_step(name, cmd, env_extra, out_dir, timeout_s):
     log(f"step {name}: {' '.join(cmd)}"
         + (f"  env={env_extra}" if env_extra else ""))
     env = dict(os.environ, **{k: str(v) for k, v in (env_extra or {}).items()})
-    env.setdefault("PYTHONPATH", REPO)
+    # PREPEND the repo (don't setdefault): the ambient environment already
+    # sets PYTHONPATH (e.g. /root/.axon_site), and tools/*.py scripts run
+    # with sys.path[0]=tools/ — round 4's first ladder run lost all 8 cases
+    # to ModuleNotFoundError because setdefault kept the ambient value.
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     t0 = time.time()
     try:
         out = subprocess.run(

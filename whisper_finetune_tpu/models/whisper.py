@@ -531,6 +531,57 @@ def _stochastic_wrap(x, run_block, sd_key, p: float, train: bool):
 
 
 # ---------------------------------------------------------------------------
+# Shared forward segments
+#
+# These are the pieces of encoder_forward/decoder_forward that
+# train.manual_grad replays one segment at a time (its hand-written
+# accumulating backward). They live HERE, not as copies in manual_grad, so
+# the two paths cannot drift: any change to the stem/embed math or to the
+# per-step RNG layout is automatically shared (parity is additionally
+# pinned by tests/test_manual_grad.py).
+# ---------------------------------------------------------------------------
+
+def conv_stem(enc: Params, mel: jnp.ndarray, dims: ModelDimensions, dtype) -> jnp.ndarray:
+    """Conv1 -> GELU -> conv2(stride 2) -> GELU -> +sinusoidal positions.
+
+    mel (B, n_mels, 3000) -> (B, n_audio_ctx, d) in the compute dtype."""
+    x = jnp.swapaxes(mel, -1, -2).astype(dtype)  # (B, T_samples/hop, n_mels)
+    x = jax.lax.conv_general_dilated(
+        x, enc["conv1"]["w"].astype(dtype), window_strides=(1,),
+        padding=((1, 1),), dimension_numbers=("NWC", "WIO", "NWC"),
+    ) + enc["conv1"]["b"].astype(dtype)
+    x = jax.nn.gelu(x, approximate=False)
+    x = jax.lax.conv_general_dilated(
+        x, enc["conv2"]["w"].astype(dtype), window_strides=(2,),
+        padding=((1, 1),), dimension_numbers=("NWC", "WIO", "NWC"),
+    ) + enc["conv2"]["b"].astype(dtype)
+    x = jax.nn.gelu(x, approximate=False)
+    pos = jnp.asarray(sinusoids(dims.n_audio_ctx, dims.n_audio_state))
+    return (x + pos.astype(dtype)[None, : x.shape[1]]).astype(dtype)
+
+
+def decoder_embed(dec: Params, tokens: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Token + learned positional embedding -> (B, T, d) in compute dtype."""
+    T = tokens.shape[-1]
+    return (dec["tok_emb"][tokens] + dec["pos_emb"][:T]).astype(dtype)
+
+
+def encoder_step_rng(rng: jax.Array, L: int, fcfg: ForwardConfig):
+    """Per-forward encoder RNG layout: one deep-SpecAugment gate Bernoulli
+    (reference forward-pre-hook, model_utils.py:404-407) plus (L, 3) layer
+    keys — [0] stochastic depth, [1] DSA masks, [2] LoRA dropout."""
+    gate_key, layers_key = jax.random.split(rng)
+    layer_keys = jax.random.split(layers_key, L * 3).reshape(L, 3, 2)
+    dsa_gate = jax.random.uniform(gate_key) < fcfg.dsa_p
+    return dsa_gate, layer_keys
+
+
+def decoder_step_rng(rng: jax.Array, L: int) -> jax.Array:
+    """(L, 2) decoder layer keys — [0] stochastic depth, [1] LoRA dropout."""
+    return jax.random.split(rng, L * 2).reshape(L, 2, 2)
+
+
+# ---------------------------------------------------------------------------
 # Encoder / decoder forwards
 # ---------------------------------------------------------------------------
 
@@ -548,28 +599,11 @@ def encoder_forward(
     n_head = dims.n_audio_head
     L = dims.n_audio_layer
 
-    x = jnp.swapaxes(mel, -1, -2).astype(dtype)  # (B, T_samples/hop, n_mels)
-    x = jax.lax.conv_general_dilated(
-        x, enc["conv1"]["w"].astype(dtype), window_strides=(1,),
-        padding=((1, 1),), dimension_numbers=("NWC", "WIO", "NWC"),
-    ) + enc["conv1"]["b"].astype(dtype)
-    x = jax.nn.gelu(x, approximate=False)
-    x = jax.lax.conv_general_dilated(
-        x, enc["conv2"]["w"].astype(dtype), window_strides=(2,),
-        padding=((1, 1),), dimension_numbers=("NWC", "WIO", "NWC"),
-    ) + enc["conv2"]["b"].astype(dtype)
-    x = jax.nn.gelu(x, approximate=False)
-
-    pos = jnp.asarray(sinusoids(dims.n_audio_ctx, dims.n_audio_state))
-    x = (x + pos.astype(dtype)[None, : x.shape[1]]).astype(dtype)
+    x = conv_stem(enc, mel, dims, dtype)
 
     if rng is None:
         rng = jax.random.PRNGKey(0)
-    gate_key, layers_key = jax.random.split(rng)
-    layer_keys = jax.random.split(layers_key, L * 3).reshape(L, 3, 2)
-    # One Bernoulli per encoder forward gates deep SpecAugment for all layers
-    # (reference forward-pre-hook, model_utils.py:404-407).
-    dsa_gate = jax.random.uniform(gate_key) < fcfg.dsa_p
+    dsa_gate, layer_keys = encoder_step_rng(rng, L, fcfg)
     dsa_flags = jnp.asarray(dsa_layer_flags(fcfg, L))
 
     def body(x, scanned):
@@ -620,15 +654,13 @@ def decoder_forward(
     dtype = fcfg.dtype
     n_head = dims.n_text_head
     L = dims.n_text_layer
-    T = tokens.shape[-1]
 
-    x = dec["tok_emb"][tokens] + dec["pos_emb"][:T]
-    x = x.astype(dtype)
+    x = decoder_embed(dec, tokens, dtype)
     xa = xa.astype(dtype)
 
     if rng is None:
         rng = jax.random.PRNGKey(0)
-    layer_keys = jax.random.split(rng, L * 2).reshape(L, 2, 2)
+    layer_keys = decoder_step_rng(rng, L)
 
     def body(x, scanned):
         bp, keys = scanned

@@ -53,9 +53,12 @@ from whisper_finetune_tpu.models.whisper import (
     _decoder_block,
     _encoder_block,
     _stochastic_wrap,
+    conv_stem,
+    decoder_embed,
+    decoder_step_rng,
     dsa_layer_flags,
+    encoder_step_rng,
     layer_norm,
-    sinusoids,
 )
 
 Params = Dict[str, Any]
@@ -140,22 +143,19 @@ def make_manual_accumulator(
         return _maybe_slice_cast(bp, tie, dtype)
 
     # ---------------- per-segment forward functions --------------------
+    # The stem/embed math and the RNG layouts are the SHARED
+    # models.whisper segment helpers (conv_stem, decoder_embed,
+    # encoder_step_rng, decoder_step_rng) — this module only re-wires the
+    # scan topology around them, so the forward numerics cannot drift from
+    # encoder_forward/decoder_forward.
 
     def stem(conv1: Params, conv2: Params, mel):
-        """Conv stem + positional embedding (encoder_forward's prologue)."""
-        x = jnp.swapaxes(mel, -1, -2).astype(dtype)
-        x = jax.lax.conv_general_dilated(
-            x, conv1["w"].astype(dtype), window_strides=(1,),
-            padding=((1, 1),), dimension_numbers=("NWC", "WIO", "NWC"),
-        ) + conv1["b"].astype(dtype)
-        x = jax.nn.gelu(x, approximate=False)
-        x = jax.lax.conv_general_dilated(
-            x, conv2["w"].astype(dtype), window_strides=(2,),
-            padding=((1, 1),), dimension_numbers=("NWC", "WIO", "NWC"),
-        ) + conv2["b"].astype(dtype)
-        x = jax.nn.gelu(x, approximate=False)
-        pos = jnp.asarray(sinusoids(dims.n_audio_ctx, dims.n_audio_state))
-        return (x + pos.astype(dtype)[None, : x.shape[1]]).astype(dtype)
+        """Conv stem + positional embedding (encoder_forward's prologue),
+        parameterized by the conv leaves so jax.vjp can differentiate
+        w.r.t. them alone."""
+        return conv_stem(
+            {"conv1": conv1, "conv2": conv2}, mel, dims, dtype
+        )
 
     def enc_layer(x, bp, keys, flag, dsa_gate):
         dsa_on = jnp.logical_and(dsa_gate, flag)
@@ -171,8 +171,9 @@ def make_manual_accumulator(
         return layer_norm(x, ln_post).astype(jnp.float32).astype(dtype)
 
     def dec_embed(tok_emb, pos_emb, tokens):
-        T = tokens.shape[-1]
-        return (tok_emb[tokens] + pos_emb[:T]).astype(dtype)
+        return decoder_embed(
+            {"tok_emb": tok_emb, "pos_emb": pos_emb}, tokens, dtype
+        )
 
     def dec_layer(x, bp, xa, keys):
         def run(x):
@@ -207,10 +208,8 @@ def make_manual_accumulator(
         enc_rng, dec_rng = jax.random.split(mrng)
 
         # ===== forward =====
-        # Encoder RNG layout must match encoder_forward exactly.
-        gate_key, layers_key = jax.random.split(enc_rng)
-        enc_keys = jax.random.split(layers_key, L_e * 3).reshape(L_e, 3, 2)
-        dsa_gate = jax.random.uniform(gate_key) < fcfg.dsa_p
+        # Shared RNG layout (identical to encoder_forward by construction).
+        dsa_gate, enc_keys = encoder_step_rng(enc_rng, L_e, fcfg)
         dsa_flags = jnp.asarray(dsa_layer_flags(fcfg, L_e))
 
         x0 = stem(enc["conv1"], enc["conv2"], mel)
@@ -226,7 +225,7 @@ def make_manual_accumulator(
 
         xa = enc_head(enc["ln_post"], x_enc)
 
-        dec_keys = jax.random.split(dec_rng, L_d * 2).reshape(L_d, 2, 2)
+        dec_keys = decoder_step_rng(dec_rng, L_d)
         xd0 = dec_embed(dec["tok_emb"], dec["pos_emb"], mb["dec_input"])
 
         def dec_fwd(x, xs):
