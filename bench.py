@@ -348,7 +348,12 @@ def _run_benchmarks():
     primary_batch = os.environ.get("WFT_BENCH_PRIMARY_BATCH")
 
     attempts = [
-        ("large-v3 full fine-tune (8-bit state, bf16 accum)", "large-v3", 6, False),
+        # batch 8 measured fastest per-sample under full remat + splash
+        # encoder/cross (156.6 ms/sample vs 158.7 at batch 6 — chip_queue
+        # r4b ladder case cross_splash_batch8, 2026-08-19); every `save:`
+        # remat relaxation still OOMs post-reduction-CE (closest miss
+        # +341 MB), so MFU comes from batch, not saved activations.
+        ("large-v3 full fine-tune (8-bit state, bf16 accum)", "large-v3", 8, False),
         ("large-v3 LoRA r16", "large-v3", 8, True),
         ("large-v3-turbo full fine-tune (8-bit state)", "large-v3-turbo", 8, False),
         ("small full fine-tune", "small", 16, False),
@@ -380,7 +385,10 @@ def _run_benchmarks():
     # DataLoader batches.
     try:
         MUON_ACCUM = 8
-        precast = os.environ.get("WFT_BENCH_MUON_PRECAST", "") == "1"
+        # Default ON: 18.399 vs 24.532 s/step measured (chip_queue r4b,
+        # 2026-08-19) and the precast accum program peaks at the same
+        # 14.45 GiB as slice-cast. WFT_BENCH_MUON_PRECAST=0 reverts.
+        precast = os.environ.get("WFT_BENCH_MUON_PRECAST", "1") == "1"
         dims, step_time, value = _bench_model(
             "large-v3", 6, steps=3, warmup=1, accum=MUON_ACCUM,
             tx_factory=_muon_flagship_tx, split_update=True,

@@ -10,6 +10,7 @@ Usage:  PYTHONPATH=/root/repo python tools/bench_remat_ladder.py [case ...]
         (no args = all cases)
 """
 
+import os
 import sys
 import time
 import traceback
@@ -21,7 +22,8 @@ import optax
 
 
 def bench_case(label: str, batch: int, fcfg_overrides: dict,
-               steps: int = 8, warmup: int = 3, unroll: int = 1) -> None:
+               steps: int = 8, warmup: int = 3, unroll: int = 1,
+               accum: int = 1) -> None:
     from whisper_finetune_tpu.models import (
         ForwardConfig,
         get_preset_dims,
@@ -65,16 +67,20 @@ def bench_case(label: str, batch: int, fcfg_overrides: dict,
         mesh,
         {
             "audio": jnp.asarray(
-                (rng.standard_normal((1, batch, 480000)) * 0.05).astype(
+                (rng.standard_normal((accum, batch, 480000)) * 0.05).astype(
                     np.float32
                 )
             ),
-            "crop_frames": jnp.full((1, batch), 3000, jnp.int32),
+            "crop_frames": jnp.full((accum, batch), 3000, jnp.int32),
             "dec_input": jnp.asarray(
-                rng.integers(0, dims.n_vocab, (1, batch, 448)).astype(np.int32)
+                rng.integers(
+                    0, dims.n_vocab, (accum, batch, 448)
+                ).astype(np.int32)
             ),
             "dec_output": jnp.asarray(
-                rng.integers(0, dims.n_vocab, (1, batch, 448)).astype(np.int32)
+                rng.integers(
+                    0, dims.n_vocab, (accum, batch, 448)
+                ).astype(np.int32)
             ),
         },
     )
@@ -110,10 +116,10 @@ def bench_case(label: str, batch: int, fcfg_overrides: dict,
         hbm_peak = round(stats.get("peak_bytes_in_use", 0) / 2**30, 2)
     except Exception:
         pass
-    audio_hps = batch * 30.0 / 3600.0 / dt
+    audio_hps = accum * batch * 30.0 / 3600.0 / dt
     print(
         f"RESULT {label}: step={dt*1000:.1f} ms  audio-h/s={audio_hps:.4f}"
-        f"  batch={batch}  peak_hbm={hbm_peak} GiB"
+        f"  batch={batch}  accum={accum}  peak_hbm={hbm_peak} GiB"
         f"  (setup+compile {compile_s:.0f}s)",
         flush=True,
     )
@@ -240,6 +246,26 @@ CASES = {
     # two steps in one XLA program: overlap optimizer tail with next fwd
     "unroll2": (6, {}, 2),
     "unroll2_cross_splash": (6, {"attn_impl_cross": "splash"}, 2),
+    # round-4 cases (batch 8 = the new measured-best primary shape, auto
+    # impls already resolve to encoder+cross splash):
+    # scoped-VMEM ceiling — how much of the 128 MiB VMEM the fusion
+    # scheduler may dedicate to one fusion's operands/accumulators; the
+    # default is conservative and matmul-heavy programs often gain a few
+    # percent from a higher cap (goes through jit(compiler_options=...) so
+    # it reaches the axon remote compiler, train/step.py
+    # _step_compiler_options)
+    "b8_vmem32": (8, {}, 1, {"env": {
+        "WFT_COMPILER_OPTIONS":
+            '{"xla_tpu_scoped_vmem_limit_kib": "32768"}'}}),
+    "b8_vmem64": (8, {}, 1, {"env": {
+        "WFT_COMPILER_OPTIONS":
+            '{"xla_tpu_scoped_vmem_limit_kib": "65536"}'}}),
+    # per-sample time kept improving 6 -> 8; probe two more samples
+    "batch10": (10, {}),
+    # amortize the fused-optimizer pass (~90 ms) over 2 microbatches; the
+    # bf16 accumulation buffer costs ~2.9 GB so this only fits if the
+    # activation workspace shrinks at batch 8 vs the save-set OOM margins
+    "b8_accum2": (8, {}, 1, {"accum": 2}),
 }
 
 
@@ -249,8 +275,13 @@ def main() -> None:
         case = CASES[name]
         batch, over = case[0], case[1]
         unroll = case[2] if len(case) > 2 else 1
+        extras = case[3] if len(case) > 3 else {}
+        env = extras.get("env") or {}
+        saved = {k: os.environ.get(k) for k in env}
+        os.environ.update(env)
         try:
-            bench_case(name, batch, over, unroll=unroll)
+            bench_case(name, batch, over, unroll=unroll,
+                       accum=extras.get("accum", 1))
         except Exception as e:  # noqa: BLE001 - log and continue the ladder
             msg = str(e)
             over_line = next(
@@ -265,6 +296,12 @@ def main() -> None:
                 f"RESULT {name}: FAILED {type(e).__name__}: {over_line}",
                 flush=True,
             )
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
 
 
 if __name__ == "__main__":

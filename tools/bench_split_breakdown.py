@@ -24,7 +24,9 @@ Usage (real chip, serialized with other TPU users):
   PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_split_breakdown.py
 Env:
   WFT_BATCH (6), WFT_ACCUM (8), WFT_ITERS (3),
-  WFT_SKIP (comma list of section names to skip)
+  WFT_SKIP (comma list of section names to skip),
+  WFT_ONLY (comma list — run ONLY these sections; overrides WFT_SKIP),
+  WFT_MPRECAST (1; 0 = slice-cast manual backward)
 """
 
 import os
@@ -46,7 +48,12 @@ def main():
     batch = int(os.environ.get("WFT_BATCH", 6))
     accum = int(os.environ.get("WFT_ACCUM", 8))
     iters = int(os.environ.get("WFT_ITERS", 3))
-    skip = set(os.environ.get("WFT_SKIP", "").split(","))
+    sections = {"sync", "accum_manual", "update", "zero_buf", "accum_auto"}
+    only = {s for s in os.environ.get("WFT_ONLY", "").split(",") if s}
+    if only:
+        skip = sections - only
+    else:
+        skip = set(os.environ.get("WFT_SKIP", "").split(","))
 
     from bench import _muon_flagship_tx  # repo root on sys.path via PYTHONPATH
     from whisper_finetune_tpu.models import (
@@ -68,6 +75,11 @@ def main():
     state = TrainState(trainable, frozen, tx.init(trainable),
                        jnp.zeros((), jnp.int32))
     state = jax.device_put(state, NamedSharding(mesh, P()))
+    # Drop every extra reference to the param tree: the update program
+    # donates `state`, and stale aliases of donated buffers both pin HBM
+    # and poison later sections (the first chip run of this tool died
+    # RESOURCE_EXHAUSTED rebuilding state from donated leaves).
+    del params, trainable, frozen
 
     fcfg = ForwardConfig(compute_dtype="bfloat16", **dict(resolve_auto_impls()))
     feat = FeaturizeConfig(n_mels=dims.n_mels, spec_augment=True, p=1.0)
@@ -87,11 +99,15 @@ def main():
     })
     key = jax.random.PRNGKey(0)
 
+    # Precast defaults ON to match the measured bench default (18.399 vs
+    # 24.532 s/opt-step, docs/perf_round4.md); WFT_MPRECAST=0 reverts.
+    mprecast = os.environ.get("WFT_MPRECAST", "1") == "1"
+
     def step_factory(manual):
         return make_train_step(
             mesh, dims, fcfg, tx, 0.1, feat_cfg=feat, max_grad_norm=1.0,
             accum_dtype="bfloat16", split_update=True,
-            manual_backward=manual, manual_precast=False,
+            manual_backward=manual, manual_precast=manual and mprecast,
         )
 
     results = {}
@@ -127,13 +143,15 @@ def main():
         log(f"{'sync':14s} {results['sync']*1e3:9.1f} ms (scalar fetch)")
 
     # --- manual accumulation program ----------------------------------
-    step_manual = step_factory(True)
-    accum_jit = step_manual.accum_jit
-    buf_shape = jax.tree_util.tree_map(
-        lambda p: jnp.zeros(p.shape, jnp.bfloat16), state.trainable)
-
     grads_keep = g_scale_keep = None
+    need_manual = {"accum_manual", "update", "zero_buf"} - skip
+    step_manual = accum_jit = None
+    if need_manual:
+        step_manual = step_factory(True)
+        accum_jit = step_manual.accum_jit
     if "accum_manual" not in skip:
+        buf_shape = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.bfloat16), state.trainable)
         zb = jax.jit(lambda t: jax.tree_util.tree_map(jnp.zeros_like, t),
                      donate_argnums=(0,))
         # each call donates buf, so recycle the output grads per run
@@ -168,11 +186,8 @@ def main():
         results["update"] = min(ts)
         log(f"{'update':14s} {min(ts)*1e3:9.1f} ms  (runs: "
             + " ".join(f"{t*1e3:.0f}" for t in ts) + ")")
-        del st
-        state = jax.device_put(
-            TrainState(trainable, frozen, tx.init(trainable),
-                       jnp.zeros((), jnp.int32)),
-            NamedSharding(mesh, P()))
+        # The update donated `state`; its output is the one live state now.
+        state = st
 
     # --- zeroing pass ----------------------------------------------------
     if "zero_buf" not in skip and grads_keep is not None:
@@ -189,15 +204,22 @@ def main():
             ts.append(time.time() - t0)
         results["zero_buf"] = min(ts)
         log(f"{'zero_buf':14s} {min(ts)*1e3:9.1f} ms")
-        del g, grads_keep
+        del g
 
+    # Release every manual-section residue (the final `out` tuple alone
+    # pins the 3 GB grad buffer) before compiling the automatic program.
     del step_manual, accum_jit
+    grads_keep = g_scale_keep = out = None  # noqa: F841
 
     # --- automatic accumulation at the same accum (may OOM) -------------
     if "accum_auto" not in skip:
         try:
             step_auto = step_factory(False)
             auto_jit = step_auto.accum_jit
+            zb_auto = jax.jit(
+                lambda t: jax.tree_util.tree_map(jnp.zeros_like, t),
+                donate_argnums=(0,),
+            )
             buf = jax.tree_util.tree_map(
                 lambda p: jnp.zeros(p.shape, jnp.bfloat16), state.trainable)
 
@@ -205,10 +227,7 @@ def main():
             float(out[2])
             ts = []
             for _ in range(iters):
-                buf = jax.jit(
-                    lambda t: jax.tree_util.tree_map(jnp.zeros_like, t),
-                    donate_argnums=(0,),
-                )(out[0])
+                buf = zb_auto(out[0])
                 t0 = time.time()
                 out = auto_jit(state, data, key, buf)
                 float(out[2])

@@ -38,6 +38,24 @@ from whisper_finetune_tpu.models.dims import ModelDimensions
 from whisper_finetune_tpu.models.whisper import ForwardConfig, forward_impl
 from whisper_finetune_tpu.parallel.mesh import DATA_AXIS
 
+
+def _step_compiler_options():
+    """Optional per-program XLA compile options for the step programs, from
+    ``WFT_COMPILER_OPTIONS`` (a JSON object, e.g.
+    ``{"xla_tpu_scoped_vmem_limit_kib": "65536"}``).
+
+    Experimental perf knob: TPU scheduling/VMEM flags are per-program
+    compile options, and only ``jit(compiler_options=...)`` reaches the
+    axon remote compiler — ``XLA_FLAGS`` in the client env does not.
+    Returns ``None`` (compiler defaults) when unset."""
+    import json as _json
+    import os as _os
+
+    raw = _os.environ.get("WFT_COMPILER_OPTIONS")
+    if not raw:
+        return None
+    return {str(k): str(v) for k, v in _json.loads(raw).items()}
+
 Params = Any
 IGNORE_INDEX = -100
 
@@ -805,6 +823,7 @@ def make_train_step(
                 check_vma=False,
             ),
             donate_argnums=(3,),
+            compiler_options=_step_compiler_options(),
         )
         # grads (arg 1) is NOT donated: its allocation is the persistent
         # accumulator buffer recycled into the next step's accum program.
@@ -817,6 +836,7 @@ def make_train_step(
                 check_vma=False,
             ),
             donate_argnums=(0,),
+            compiler_options=_step_compiler_options(),
         )
 
         rep_sharding = NamedSharding(mesh, rep)
@@ -879,7 +899,10 @@ def make_train_step(
         out_specs=out_specs,
         check_vma=False,
     )
-    return jax.jit(sharded, donate_argnums=(0,))
+    return jax.jit(
+        sharded, donate_argnums=(0,),
+        compiler_options=_step_compiler_options(),
+    )
 
 
 def shard_batch(mesh: Mesh, batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
