@@ -389,10 +389,22 @@ def _run_benchmarks():
         # 2026-08-19) and the precast accum program peaks at the same
         # 14.45 GiB as slice-cast. WFT_BENCH_MUON_PRECAST=0 reverts.
         precast = os.environ.get("WFT_BENCH_MUON_PRECAST", "1") == "1"
+        # WFT_BENCH_MUON_MANUAL=0 swaps the manual accumulating backward
+        # for the AUTOMATIC (scan over value_and_grad) accumulation program
+        # — pre-reduction-CE it compiled to 16.0 GB and OOMed; the
+        # breakdown tool (tools/bench_split_breakdown.py) decides which
+        # one the flagship line ships with.
+        manual = os.environ.get("WFT_BENCH_MUON_MANUAL", "1") == "1"
+        # warmup=2, NOT 1: the split step's first post-compile call runs
+        # ~98 s (tools/bench_split_breakdown.py, 2026-08-19 — the recycled
+        # zero_buf-output buffer first feeds the accum program there and
+        # triggers a second compile), and averaging it into a 3-step
+        # window inflated the flagship to 18.4 s/opt-step when its steady
+        # state is ~7.2 s (runs: 98.5, 7.16, 7.18).
         dims, step_time, value = _bench_model(
-            "large-v3", 6, steps=3, warmup=1, accum=MUON_ACCUM,
+            "large-v3", 6, steps=3, warmup=2, accum=MUON_ACCUM,
             tx_factory=_muon_flagship_tx, split_update=True,
-            manual_backward=True, manual_precast=precast,
+            manual_backward=manual, manual_precast=manual and precast,
         )
         print(
             _result_json(
@@ -401,7 +413,8 @@ def _run_benchmarks():
                 extra={
                     "accum_grad_steps": MUON_ACCUM,
                     "microbatch_step_time_s": round(step_time / MUON_ACCUM, 3),
-                    "manual_precast_weights": precast,
+                    "manual_backward": manual,
+                    "manual_precast_weights": manual and precast,
                 },
             )
         )

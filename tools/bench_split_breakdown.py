@@ -1,34 +1,39 @@
 """Decompose the Muon-flagship split step (bench.py line 2) on the real chip.
 
-The first-ever chip timing of the round-3 split/manual stack came in at
-24.5 s/opt-step (3.07 s/microbatch) against the primary line's
-159 ms/sample — the fit is proven but something runs ~3x slower than the
-same math in the automatic path. This times each piece in isolation:
+The first chip timing of the round-3 split/manual stack came in at
+18.4 s/opt-step precast (2.30 s/microbatch) against the primary line's
+~0.88 s autodiff fwd/bwd for the same microbatch work — the fit is proven
+but the manual accumulating backward runs ~2.4x slower. This tool answers
+the docs/perf_round4.md "open problem" questions on-chip:
 
-  accum_manual   the manual-backward accumulation program (one call = all
-                 8 microbatches), per call
-  accum_auto     the AUTOMATIC (scan over value_and_grad) accumulation
-                 program at the same accum — pre-reduction-CE this compiled
-                 to 16.0 GB and OOMed the 15.75 GB chip; the CE rewrite
-                 freed ~1.1 GB/microbatch so it may fit now (catches OOM
-                 and reports it either way)
-  update         the fused one-pass Muon update program, per call
-  zero_buf       the in-place gradient-buffer zeroing pass
-  sync           one host scalar fetch (axon tunnel round-trip)
+  manual      the shipped split_step (manual backward, precast per
+              WFT_MPRECAST) — per-phase times from the wrapper's
+              last_timing: accum_s (accumulation program incl. the loss
+              fetch that retires it) and update_s (fused Muon update)
+  auto        the SAME split_step wrapper but with the AUTOMATIC
+              (scan over value_and_grad) accumulation program — this
+              compiled to 16.0 GB pre-reduction-CE and OOMed the 15.75 GB
+              chip; the CE rewrite freed ~1.1 GB/microbatch so it may fit
+              now (OOM is caught and reported either way)
 
-Decision input for docs/perf_round3.md rule 1 and the bench line: if
-accum_auto fits and beats accum_manual, the Muon line should run
-split_update WITHOUT manual_backward.
+Both variants run through train/step.py's split_step wrapper, which owns
+the buffer discipline this measurement needs (retire each program before
+enqueueing the next, one recycled grad allocation) — a standalone loop
+that re-implemented it OOMed from enqueue-time workspace overlap.
+
+Decision input for docs/perf_round4.md: if `auto` fits and beats `manual`,
+the Muon flagship line should run split_update WITHOUT manual_backward
+(keeping the manual backward as the documented fallback for smaller HBM).
 
 Usage (real chip, serialized with other TPU users):
   PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_split_breakdown.py
 Env:
   WFT_BATCH (6), WFT_ACCUM (8), WFT_ITERS (3),
-  WFT_SKIP (comma list of section names to skip),
-  WFT_ONLY (comma list — run ONLY these sections; overrides WFT_SKIP),
+  WFT_ONLY (comma list of {manual,auto} — run only these),
   WFT_MPRECAST (1; 0 = slice-cast manual backward)
 """
 
+import json
 import os
 import sys
 import time
@@ -48,12 +53,8 @@ def main():
     batch = int(os.environ.get("WFT_BATCH", 6))
     accum = int(os.environ.get("WFT_ACCUM", 8))
     iters = int(os.environ.get("WFT_ITERS", 3))
-    sections = {"sync", "accum_manual", "update", "zero_buf", "accum_auto"}
     only = {s for s in os.environ.get("WFT_ONLY", "").split(",") if s}
-    if only:
-        skip = sections - only
-    else:
-        skip = set(os.environ.get("WFT_SKIP", "").split(","))
+    variants = [v for v in ("manual", "auto") if not only or v in only]
 
     from bench import _muon_flagship_tx  # repo root on sys.path via PYTHONPATH
     from whisper_finetune_tpu.models import (
@@ -76,9 +77,7 @@ def main():
                        jnp.zeros((), jnp.int32))
     state = jax.device_put(state, NamedSharding(mesh, P()))
     # Drop every extra reference to the param tree: the update program
-    # donates `state`, and stale aliases of donated buffers both pin HBM
-    # and poison later sections (the first chip run of this tool died
-    # RESOURCE_EXHAUSTED rebuilding state from donated leaves).
+    # donates `state`, and stale aliases of donated buffers pin HBM.
     del params, trainable, frozen
 
     fcfg = ForwardConfig(compute_dtype="bfloat16", **dict(resolve_auto_impls()))
@@ -110,140 +109,52 @@ def main():
             manual_backward=manual, manual_precast=manual and mprecast,
         )
 
-    results = {}
+    results = {"batch": batch, "accum": accum, "mprecast": mprecast}
 
-    def timed(label, fn, *args, sync=None, n=iters):
-        """Median-of-n wall time; sync fetches a scalar to defeat the axon
-        backend's lazy block_until_ready."""
-        out = fn(*args)  # warm/compile
-        (sync or _default_sync)(out)
-        ts = []
-        for _ in range(n):
-            t0 = time.time()
-            out = fn(*args)
-            (sync or _default_sync)(out)
-            ts.append(time.time() - t0)
-        best = min(ts)
-        results[label] = best
-        log(f"{label:14s} {best*1e3:9.1f} ms  (runs: "
-            + " ".join(f"{t*1e3:.0f}" for t in ts) + ")")
-        return out
+    # host round-trip latency for reference (the wrapper pays 2 per step)
+    x = jnp.zeros(())
+    t0 = time.time()
+    for _ in range(10):
+        float(x + 1.0)
+    results["sync_s"] = round((time.time() - t0) / 10, 4)
+    log(f"sync {results['sync_s']*1e3:.1f} ms (scalar fetch)")
 
-    def _default_sync(out):
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        float(jnp.sum(leaf.astype(jnp.float32)))
-
-    # --- host round-trip latency --------------------------------------
-    if "sync" not in skip:
-        x = jnp.zeros(())
-        t0 = time.time()
-        for _ in range(10):
-            float(x + 1.0)
-        results["sync"] = (time.time() - t0) / 10
-        log(f"{'sync':14s} {results['sync']*1e3:9.1f} ms (scalar fetch)")
-
-    # --- manual accumulation program ----------------------------------
-    grads_keep = g_scale_keep = None
-    need_manual = {"accum_manual", "update", "zero_buf"} - skip
-    step_manual = accum_jit = None
-    if need_manual:
-        step_manual = step_factory(True)
-        accum_jit = step_manual.accum_jit
-    if "accum_manual" not in skip:
-        buf_shape = jax.tree_util.tree_map(
-            lambda p: jnp.zeros(p.shape, jnp.bfloat16), state.trainable)
-        zb = jax.jit(lambda t: jax.tree_util.tree_map(jnp.zeros_like, t),
-                     donate_argnums=(0,))
-        # each call donates buf, so recycle the output grads per run
-        out = accum_jit(state, data, key, buf_shape)
-        float(out[2])
-        ts = []
-        for _ in range(iters):
-            buf = zb(out[0])
-            t0 = time.time()
-            out = accum_jit(state, data, key, buf)
-            float(out[2])  # loss scalar — forces completion
-            ts.append(time.time() - t0)
-        results["accum_manual"] = min(ts)
-        log(f"{'accum_manual':14s} {min(ts)*1e3:9.1f} ms  (runs: "
-            + " ".join(f"{t*1e3:.0f}" for t in ts) + ")")
-        grads_keep, g_scale_keep = out[0], out[1]
-
-    # --- update program ------------------------------------------------
-    if "update" not in skip and grads_keep is not None:
-        update_jit = step_manual.update_jit
-        g_scale = g_scale_keep
-
-        # update donates state; keep feeding the returned state back in
-        st = update_jit(state, grads_keep, g_scale)
-        int(st.step)
-        ts = []
-        for _ in range(iters):
-            t0 = time.time()
-            st = update_jit(st, grads_keep, g_scale)
-            int(st.step)
-            ts.append(time.time() - t0)
-        results["update"] = min(ts)
-        log(f"{'update':14s} {min(ts)*1e3:9.1f} ms  (runs: "
-            + " ".join(f"{t*1e3:.0f}" for t in ts) + ")")
-        # The update donated `state`; its output is the one live state now.
-        state = st
-
-    # --- zeroing pass ----------------------------------------------------
-    if "zero_buf" not in skip and grads_keep is not None:
-        zb = jax.jit(lambda t: jax.tree_util.tree_map(jnp.zeros_like, t),
-                     donate_argnums=(0,))
-        g = grads_keep
-        g = zb(g)
-        _default_sync(g)
-        ts = []
-        for _ in range(iters):
-            t0 = time.time()
-            g = zb(g)
-            _default_sync(g)
-            ts.append(time.time() - t0)
-        results["zero_buf"] = min(ts)
-        log(f"{'zero_buf':14s} {min(ts)*1e3:9.1f} ms")
-        del g
-
-    # Release every manual-section residue (the final `out` tuple alone
-    # pins the 3 GB grad buffer) before compiling the automatic program.
-    del step_manual, accum_jit
-    grads_keep = g_scale_keep = out = None  # noqa: F841
-
-    # --- automatic accumulation at the same accum (may OOM) -------------
-    if "accum_auto" not in skip:
+    for variant in variants:
+        step = None
         try:
-            step_auto = step_factory(False)
-            auto_jit = step_auto.accum_jit
-            zb_auto = jax.jit(
-                lambda t: jax.tree_util.tree_map(jnp.zeros_like, t),
-                donate_argnums=(0,),
-            )
-            buf = jax.tree_util.tree_map(
-                lambda p: jnp.zeros(p.shape, jnp.bfloat16), state.trainable)
-
-            out = auto_jit(state, data, key, buf)
-            float(out[2])
-            ts = []
+            step = step_factory(variant == "manual")
+            state, loss = step(state, data, key)  # warm/compile
+            rows = []
+            totals = []
             for _ in range(iters):
-                buf = zb_auto(out[0])
                 t0 = time.time()
-                out = auto_jit(state, data, key, buf)
-                float(out[2])
-                ts.append(time.time() - t0)
-            results["accum_auto"] = min(ts)
-            log(f"{'accum_auto':14s} {min(ts)*1e3:9.1f} ms  (runs: "
-                + " ".join(f"{t*1e3:.0f}" for t in ts) + ")")
+                state, loss = step(state, data, key)
+                totals.append(time.time() - t0)
+                rows.append(dict(step.last_timing))
+            best = min(range(iters), key=lambda i: totals[i])
+            results[variant] = {
+                "opt_step_s": round(totals[best], 3),
+                "accum_s": round(rows[best]["accum_s"], 3),
+                "update_s": round(rows[best]["update_s"], 3),
+                "per_microbatch_s": round(rows[best]["accum_s"] / accum, 3),
+                "runs_s": [round(t, 3) for t in totals],
+            }
+            log(f"{variant:7s} opt_step {totals[best]:7.3f} s  accum "
+                f"{rows[best]['accum_s']:7.3f} s  update "
+                f"{rows[best]['update_s']:6.3f} s  (runs: "
+                + " ".join(f"{t:.2f}" for t in totals) + ")")
         except Exception as e:  # noqa: BLE001 - OOM is an expected outcome
-            results["accum_auto_error"] = f"{type(e).__name__}: {e}"
-            log(f"accum_auto FAILED: {type(e).__name__}: "
-                + str(e).split("\n")[0][:200])
+            results[f"{variant}_error"] = f"{type(e).__name__}: {e}".split(
+                "\n")[0][:300]
+            log(f"{variant} FAILED: {results[f'{variant}_error']}")
+        finally:
+            # Release the wrapper's recycled 3 GB grad buffer before
+            # compiling the other variant's programs.
+            if step is not None:
+                step._grad_buf = None
+            del step
 
-    import json
-    print(json.dumps({"batch": batch, "accum": accum, **{
-        k: (round(v, 4) if isinstance(v, float) else v)
-        for k, v in results.items()}}))
+    print(json.dumps(results))
 
 
 if __name__ == "__main__":

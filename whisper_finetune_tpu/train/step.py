@@ -24,6 +24,7 @@ TPU-first design notes:
 
 from __future__ import annotations
 
+import time
 from functools import partial
 from typing import Any, Callable, Dict, NamedTuple, Optional
 
@@ -859,6 +860,7 @@ def make_train_step(
         )
 
         def split_step(state, batch, rng):
+            t0 = time.perf_counter()
             buf = split_step._grad_buf
             if buf is None:
                 buf = make_grad_buf(state.trainable)
@@ -875,16 +877,27 @@ def make_train_step(
             # backend; a literal fetch is not). Costs one host round-trip
             # per program — noise against a ~1 s step.
             loss = float(loss)
+            t1 = time.perf_counter()
             new_state = update_jit(state, grads, g_scale)
             _ = int(new_state.step)
+            t2 = time.perf_counter()
             # Recycle the gradient allocation into the next accum program,
             # zeroed in place (the accum carry initializes from it as-is).
             split_step._grad_buf = zero_buf(grads)
+            # Per-phase wall times of the LAST call, for the breakdown tool
+            # (tools/bench_split_breakdown.py). accum_s includes the loss
+            # fetch that retires the program; update_s likewise; zero
+            # dispatch rides into the next step's accum_s.
+            split_step.last_timing = {
+                "accum_s": t1 - t0,
+                "update_s": t2 - t1,
+            }
             if grad_hist_every:
                 return new_state, loss, hists
             return new_state, loss
 
         split_step._grad_buf = None
+        split_step.last_timing = None
 
         # exposed for memory diagnostics (tools/bench_muon_update.py et al.)
         split_step.accum_jit = accum_jit
