@@ -735,6 +735,10 @@ def test_split_update_matches_single_program():
         state_one, loss_one = step_one(state_one, batch, jax.random.PRNGKey(1))
         state_two, loss_two = step_two(state_two, batch, jax.random.PRNGKey(1))
     np.testing.assert_allclose(float(loss_one), float(loss_two), rtol=1e-6)
+    # The split wrapper exposes per-phase wall times for the breakdown
+    # tool (tools/bench_split_breakdown.py reads them on the real chip).
+    assert set(step_two.last_timing) == {"accum_s", "update_s"}
+    assert all(v >= 0.0 for v in step_two.last_timing.values())
     a = jax.tree_util.tree_leaves(state_one.trainable)
     b = jax.tree_util.tree_leaves(state_two.trainable)
     for x, y in zip(a, b):
