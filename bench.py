@@ -340,12 +340,19 @@ def _run_benchmarks():
     #   WFT_BENCH_ONLY=primary|muon       run just one line
     #   WFT_BENCH_PRIMARY_OVERRIDES=json  fcfg overrides for the primary line
     #   WFT_BENCH_PRIMARY_BATCH=N         primary per-device batch
+    #   WFT_BENCH_PRIMARY_ACCUM=N         primary accum_grad_steps (the
+    #                                     reference's 8-bit AdamW config
+    #                                     silver-hill.yaml:71 trains at 8)
+    #   WFT_BENCH_PRIMARY_SPLIT=1         primary via the split-program +
+    #                                     manual-backward step (accum > 1)
     #   WFT_BENCH_MUON_PRECAST=1          Muon line with manual_precast on
     only = os.environ.get("WFT_BENCH_ONLY", "")
     primary_overrides = json.loads(
         os.environ.get("WFT_BENCH_PRIMARY_OVERRIDES", "{}")
     )
     primary_batch = os.environ.get("WFT_BENCH_PRIMARY_BATCH")
+    primary_accum = int(os.environ.get("WFT_BENCH_PRIMARY_ACCUM", "1"))
+    primary_split = os.environ.get("WFT_BENCH_PRIMARY_SPLIT", "0") == "1"
 
     attempts = [
         # batch 8 measured fastest per-sample under full remat + splash
@@ -361,14 +368,29 @@ def _run_benchmarks():
     last_err = None
     if only != "muon":
         for label, name, batch, lora in attempts:
-            if primary_batch and name == "large-v3" and not lora:
+            is_primary = name == "large-v3" and not lora
+            if primary_batch and is_primary:
                 batch = int(primary_batch)
+            accum = primary_accum if is_primary else 1
+            split = primary_split and is_primary and accum > 1
             try:
                 dims, step_time, value = _bench_model(
-                    name, batch, lora=lora,
+                    name, batch, lora=lora, accum=accum,
+                    steps=3 if accum > 1 else 10,
+                    warmup=2,
                     fcfg_overrides=primary_overrides if not lora else None,
+                    split_update=split, manual_backward=split,
+                    manual_precast=split,
                 )
-                print(_result_json(label, dims, batch, 1, step_time, value))
+                extra = None
+                if accum > 1:
+                    extra = {
+                        "accum_grad_steps": accum,
+                        "microbatch_step_time_s": round(step_time / accum, 3),
+                        "manual_backward": split,
+                    }
+                print(_result_json(label, dims, batch, accum, step_time,
+                                   value, extra=extra))
                 break
             except Exception as e:  # noqa: BLE001 - fall through to smaller model
                 last_err = e

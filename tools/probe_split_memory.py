@@ -17,6 +17,8 @@ Env knobs:
     WFT_MANUAL         1 = manual backward          (default 0)
     WFT_MANUAL_PRECAST 1 = precast block shadow     (default 0)
     WFT_PRECAST        0 = slice-cast automatic fwd (default 1)
+    WFT_TX             muon (default) | adamw8 — which optimizer's split
+                       programs to compile
 
 Usage: PYTHONPATH=/root/repo python tools/probe_split_memory.py
 """
@@ -65,11 +67,19 @@ def main():
     manual = os.environ.get("WFT_MANUAL", "0") == "1"
     manual_precast = os.environ.get("WFT_MANUAL_PRECAST", "0") == "1"
     precast = os.environ.get("WFT_PRECAST", "1") == "1"
+    tx_name = os.environ.get("WFT_TX", "muon")
 
     dims = get_preset_dims("large-v3")
     params = jax.eval_shape(lambda k: init_params(k, dims), jax.random.PRNGKey(0))
     trainable, frozen = partition_params(params, None)
-    tx = bench._muon_flagship_tx(trainable)
+    if tx_name == "adamw8":
+        # The primary workload's optimizer (silver-hill.yaml trains 8-bit
+        # AdamW at accum_grad_steps 8 — same split-step fit question).
+        from whisper_finetune_tpu.optim.quantized import adamw_8bit
+
+        tx = adamw_8bit(2e-5, weight_decay=0.01)
+    else:
+        tx = bench._muon_flagship_tx(trainable)
     opt_state = jax.eval_shape(tx.init, trainable)
     state = TrainState(
         trainable, frozen, opt_state, jax.ShapeDtypeStruct((), jnp.int32)
@@ -99,7 +109,7 @@ def main():
         lambda l: jax.ShapeDtypeStruct(l.shape, jnp.bfloat16), trainable
     )
     tag = (
-        f"accum={accum} B={batch} manual={int(manual)}"
+        f"tx={tx_name} accum={accum} B={batch} manual={int(manual)}"
         f" mprecast={int(manual_precast)}"
     )
     acc = step_fn.accum_jit.lower(state, data, key, grads).compile()
