@@ -9,6 +9,7 @@ from whisper_finetune_tpu.data.hf_utils import (
     normalize_language,
     process_dataset,
 )
+from whisper_finetune_tpu.data.inverse_mel import inverse_mel_to_audio
 from whisper_finetune_tpu.data.loader import (
     BatchLoader,
     infinite_batches,
@@ -32,6 +33,7 @@ __all__ = [
     "collate",
     "get_dataset_boundary_indices",
     "infinite_batches",
+    "inverse_mel_to_audio",
     "load_hf_dataset",
     "normalize_language",
     "process_dataset",
