@@ -353,6 +353,11 @@ def test_save_policy_gradients_match_full_remat(tiny_params):
         "save:enc_qkv,dec_qkv,cross_kv",
         "save:enc_mlp_h,dec_mlp_h,enc_ln1,dec_ln_cross",
         "attn",
+        # host-offload variants (round 5): DMA the site to pinned host RAM
+        # instead of keeping it in HBM or recomputing — numerics must be
+        # bit-for-bit the same split, just a different residence.
+        "offload:enc_qkv,dec_qkv",
+        "save:enc_mlp_h+offload:enc_qkv,dec_ln1",
     ):
         l, g = loss_for(
             ForwardConfig(compute_dtype="float32", remat_policy=policy)
@@ -368,15 +373,16 @@ def test_save_policy_gradients_match_full_remat(tiny_params):
     # ForwardConfig is an unvalidated dataclass; the empty save-list error
     # surfaces at trace time (whisper.py _remat), exercised here with the
     # remat path enabled.
-    with pytest.raises(ValueError):
-        forward.__wrapped__(
-            tiny_params, mel, jnp.asarray(tokens), TINY,
-            ForwardConfig(
-                compute_dtype="float32", remat_policy="save:",
-                remat_encoder=True,
-            ),
-            train=True,
-        )
+    for bad in ("save:", "save:enc_qkv+dots", "offload:+save:"):
+        with pytest.raises(ValueError):
+            forward.__wrapped__(
+                tiny_params, mel, jnp.asarray(tokens), TINY,
+                ForwardConfig(
+                    compute_dtype="float32", remat_policy=bad,
+                    remat_encoder=True,
+                ),
+                train=True,
+            )
 
 
 def test_slice_cast_matches_precast(tiny_params):

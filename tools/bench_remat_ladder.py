@@ -266,6 +266,43 @@ CASES = {
     # bf16 accumulation buffer costs ~2.9 GB so this only fits if the
     # activation workspace shrinks at batch 8 vs the save-set OOM margins
     "b8_accum2": (8, {}, 1, {"accum": 2}),
+    # ---- round-5: host-offload remat (remat_policy 'offload:<names>') ----
+    # Every round-4 'save:' relaxation OOMed by 0.34-3.5 GB
+    # (docs/logs/chip_queue_r4b_report.json); 'offload:' stages the same
+    # sites to pinned host RAM instead, costing DMA bandwidth rather than
+    # HBM. Whether DMA beats recompute is exactly what these measure
+    # (tools/probe_host_dma.py gives the raw link bandwidth for the
+    # arithmetic). Traffic per microbatch step at batch 8, bf16, one way:
+    #   attn_probs (dec self only; enc+cross run splash) 32*(8,20,448,448)
+    #     = 2.0 GB; enc_qkv 32*3*(8,1500,1280) = 2.9 GB; enc_mlp_h
+    #     32*(8,1500,5120) = 3.9 GB; enc LNs 2.0 GB; dec_qkv 0.9 GB.
+    # Cheapest recompute first (probs skip the QK^T+softmax pipeline;
+    # LNs gate long recompute chains), heaviest DMA last.
+    "b8_offload_probs": (8, {"remat_policy": "offload:attn_probs"}),
+    "b8_offload_probs_dqkv": (
+        8, {"remat_policy": "offload:attn_probs,dec_qkv"},
+    ),
+    "b8_offload_enc_ln": (
+        8, {"remat_policy": "offload:enc_ln1,enc_ln2"},
+    ),
+    "b8_offload_enc_qkv": (8, {"remat_policy": "offload:enc_qkv"}),
+    "b8_offload_enc_mlp": (8, {"remat_policy": "offload:enc_mlp_h"}),
+    # the kill-recompute attempt: offload every named site (~12 GB/step
+    # one way at batch 8) — wins only if XLA overlaps the DMA under the
+    # matmuls AND the link sustains it; otherwise a measured dead end
+    "b8_offload_heavy": (
+        8,
+        {"remat_policy": (
+            "offload:attn_probs,enc_qkv,enc_mlp_h,dec_qkv,dec_mlp_h,"
+            "cross_q,cross_kv,enc_ln1,enc_ln2,dec_ln1,dec_ln2,dec_ln_cross"
+        )},
+    ),
+    # offload + save mix: keep the cheap-to-hold dec sites resident
+    # (batch-8 full remat leaves ~1 GB free), offload the big encoder ones
+    "b8_save_dec_offload_enc": (
+        8,
+        {"remat_policy": "save:attn_probs+offload:enc_qkv,enc_mlp_h"},
+    ),
 }
 
 

@@ -112,6 +112,11 @@ _TRAINING_DEFAULTS: Dict[str, Any] = {
     # weight streaming) instead of the default per-layer barriered slice
     # cast (the tightest memory shape). Enable only with HBM headroom.
     "manual_precast_weights": False,
+    # Extension: rematerialization policy inside checkpointed blocks
+    # (models/whisper.py _remat): "full" (recompute everything), "dots",
+    # "attn", "save:<names>", "offload:<names>" (pinned-host DMA instead
+    # of HBM/recompute), or '+'-separated save/offload mixes.
+    "remat_policy": "full",
     # Extension: attention implementation. "auto" (default) picks the
     # measured-fastest per-site mix for the platform (splash Pallas kernels
     # for encoder self-attention on TPU, XLA everywhere else and off-TPU);

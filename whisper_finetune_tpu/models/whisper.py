@@ -64,7 +64,10 @@ class ForwardConfig:
     # "attn_probs" self-attention and "cross_attn_probs" sites);
     # "save:<name>[,<name>...]" keeps exactly the listed checkpoint_name
     # sites resident — the tunable middle ground between "full" and
-    # "dots". Named sites in the model: attn_probs, cross_attn_probs
+    # "dots"; "offload:<names>" stages the listed sites to pinned host
+    # RAM instead (DMA instead of HBM or recompute), and '+'-separated
+    # segments mix both, e.g. "save:attn_probs+offload:enc_qkv".
+    # Named sites in the model: attn_probs, cross_attn_probs
     # (ops/attention.py), enc_qkv/dec_qkv (self-attention projections),
     # cross_q/cross_kv (cross-attention projections), enc_mlp_h/dec_mlp_h
     # (fc1 outputs, the gelu inputs), enc_ln1/enc_ln2/dec_ln1/
@@ -151,14 +154,41 @@ def _remat(fn, fcfg: ForwardConfig):
         policy = jax.checkpoint_policies.save_only_these_names(
             "attn_probs", "cross_attn_probs"
         )
-    elif fcfg.remat_policy.startswith("save:"):
-        names = tuple(
-            n.strip() for n in fcfg.remat_policy[len("save:"):].split(",")
-            if n.strip()
-        )
-        if not names:
-            raise ValueError("remat_policy 'save:' needs at least one name")
-        policy = jax.checkpoint_policies.save_only_these_names(*names)
+    elif fcfg.remat_policy.startswith(("save:", "offload:")):
+        # Grammar: '+'-separated segments, each 'save:<names>' or
+        # 'offload:<names>' (comma-separated checkpoint_name sites).
+        # 'save' keeps the site resident in HBM; 'offload' DMAs it to
+        # pinned host RAM on the forward pass and back for the backward —
+        # trading HBM for PCIe/DMA bandwidth instead of recompute FLOPs
+        # (the round-5 remat ladder measures which wins per site).
+        saved: list = []
+        offloaded: list = []
+        for seg in fcfg.remat_policy.split("+"):
+            if seg.startswith("save:"):
+                dst = saved
+                body = seg[len("save:"):]
+            elif seg.startswith("offload:"):
+                dst = offloaded
+                body = seg[len("offload:"):]
+            else:
+                raise ValueError(
+                    f"remat_policy segment {seg!r}: expected 'save:...' or"
+                    " 'offload:...'"
+                )
+            dst.extend(n.strip() for n in body.split(",") if n.strip())
+        if not saved and not offloaded:
+            raise ValueError(
+                "remat_policy 'save:'/'offload:' needs at least one name"
+            )
+        if offloaded:
+            policy = jax.checkpoint_policies.save_and_offload_only_these_names(
+                names_which_can_be_saved=tuple(saved),
+                names_which_can_be_offloaded=tuple(offloaded),
+                offload_src="device",
+                offload_dst="pinned_host",
+            )
+        else:
+            policy = jax.checkpoint_policies.save_only_these_names(*saved)
     elif fcfg.remat_policy != "full":
         raise ValueError(f"Unknown remat_policy: {fcfg.remat_policy}")
     return jax.checkpoint(fn, prevent_cse=False, policy=policy)

@@ -137,6 +137,7 @@ def build_forward_config(config: Dict, is_lora_run: bool) -> ForwardConfig:
         remat_encoder=bool(t["gradient_checkpointing_encoder"]),
         remat_encoder_last_only=bool(t["gradient_checkpointing_encoder_last_only"]),
         remat_decoder=bool(t["gradient_checkpointing_decoder"]),
+        remat_policy=str(t.get("remat_policy", "full")),
         stochastic_depth=sd,
         stochastic_depth_encoder=sd_encoder,
         stochastic_depth_decoder=sd_decoder,
@@ -455,9 +456,16 @@ def main_loop(
         # Overlap: the step is dispatched asynchronously; build + upload the
         # next batch while the device computes, then sync on the loss (the
         # H2D/host-build analogue of the reference's pin_memory +
-        # non_blocking copies, model_utils.py:60-62).
+        # non_blocking copies, model_utils.py:60-62). The build is timed
+        # separately (perf/host_batch_build_s): it runs concurrently with
+        # the device step, so the pipeline is host-starved exactly when
+        # this approaches perf/step_time_s — the e2e side-by-side
+        # tools/bench_e2e.py reports.
+        host_build_s = 0.0
         if step < train_steps:
+            t_build = time.time()
             batch = next_device_batch()
+            host_build_s = time.time() - t_build
         train_loss = float(loss)
 
         if profile_dir and step == 8 and rt.IS_MAIN:
@@ -475,6 +483,7 @@ def main_loop(
                 t_config.get("_per_device_batch", 0) or 0
             )
             log_data["perf/step_time_s"] = dt
+            log_data["perf/host_batch_build_s"] = host_build_s
             if samples_per_step:
                 log_data["perf/samples_per_sec"] = samples_per_step / dt
                 log_data["perf/audio_hours_per_sec"] = (
