@@ -145,28 +145,46 @@ def _bench_model(name: str, batch: int, steps: int = 10, warmup: int = 2,
         state, loss = step_fn(state, data, key)
     float(loss)  # hard host sync (block_until_ready alone can be lazy on
     # remote-execution platforms)
-    t0 = time.time()
+    times = []
+    final_loss = None
     for _ in range(steps):
+        t0 = time.time()
         state, loss = step_fn(state, data, key)
-    final_loss = float(loss)
-    dt = (time.time() - t0) / steps
+        final_loss = float(loss)  # per-step sync so times are honest
+        times.append(time.time() - t0)
     assert np.isfinite(final_loss), f"non-finite loss {final_loss}"
+    # Short windows (accum>1 runs use steps=3) are vulnerable to one slow
+    # outlier (e.g. the ~98 s first-post-compile split-step call when
+    # warmup under-covers it) — report the median as the step time and
+    # carry the raw window for the record.
+    dt = float(np.median(times))
     samples_per_opt_step = accum * batch_global
     audio_hours_per_sec_per_chip = (
         samples_per_opt_step * 30.0 / 3600.0 / dt / n_dev
     )
-    return dims, dt, audio_hours_per_sec_per_chip
+    return dims, dt, audio_hours_per_sec_per_chip, times
 
 
 # Measured on THIS chip with in-graph fori_loop probes (no dispatch
 # overhead): bf16 8192^3 matmul sustains 148.8 TFLOP/s and elementwise
 # read+write sustains 276 GB/s — well below v5e paper peaks (197 TFLOP/s,
-# 819 GB/s), so MFU is reported against the measured ceiling. Note the
-# analytic "A100 at 45% MFU" baseline implies 3.15e13 FLOP/s; beating it 3x
-# (BASELINE.md north-star) would need 9.4e13 matmul FLOP/s of useful work —
-# 63% of this chip's measured ceiling on the ideal-FLOPs count alone.
+# 819 GB/s), so MFU is reported against the measured ceiling.
+#
+# Honest target arithmetic (round-5 correction — the earlier comment here
+# compared a fwd-only 'useful work' count against the total-execution
+# ceiling and understated the requirement ~3-4x): the analytic baseline
+# (A100 at 45% MFU of 312 TF) executes 140.4e12 FLOP/s on the SAME
+# 4x-fwd count this bench uses. At 100% of this chip's measured 148.8 TF
+# ceiling, vs_baseline tops out at 148.8/140.4 = 1.06 under full remat,
+# or 1.06 * 4/3 = 1.41 if recompute is eliminated (3x-fwd execution for
+# the same 4x-fwd credited work). The 3x north star is therefore a
+# MULTI-CHIP aggregate goal by physics; the per-chip goals are MFU >= 70%
+# of the measured ceiling and killing remat recompute (host offload).
+# bench JSON self-describes this via max_attainable_vs_baseline.
 MEASURED_PEAK_TFLOPS = 148.8
 MEASURED_HBM_GBPS = 276.0
+# Baseline effective FLOP/s on the same 4x-fwd count (A100 45% of 312 TF).
+BASELINE_EFFECTIVE_TFLOPS = 312.0 * 0.45
 
 
 def _result_json(label, dims, batch, accum, step_time, value, extra=None):
@@ -191,6 +209,13 @@ def _result_json(label, dims, batch, accum, step_time, value, extra=None):
         ),
         "measured_peak_tflops": MEASURED_PEAK_TFLOPS,
         "measured_hbm_gbps": MEASURED_HBM_GBPS,
+        # Physics ceiling for THIS chip vs the analytic baseline on the
+        # same 4x-fwd count: what vs_baseline would read at 100% MFU of
+        # the measured peak. ~1.06 under full remat; x4/3 if recompute
+        # is eliminated. The 3x north star is a multi-chip aggregate.
+        "max_attainable_vs_baseline": round(
+            MEASURED_PEAK_TFLOPS / BASELINE_EFFECTIVE_TFLOPS, 3
+        ),
     }
     record.update(extra or {})
     return json.dumps(record)
@@ -241,7 +266,15 @@ def _load_stale_result(base: str = None):
             continue
         parsed = doc.get("parsed")
         n = doc.get("n", 0)
-        if parsed and isinstance(parsed, dict) and n > best_n:
+        if not isinstance(parsed, dict):
+            continue
+        # A driver artifact can itself be a failure envelope ({"error": ...,
+        # "stale": {...}}) from a round where the tunnel was down — echoing
+        # that verbatim produces unit-less nested garbage (round-4's
+        # BENCH_r04.json). Unwrap the nested measurement; require a value.
+        if not parsed.get("value") and isinstance(parsed.get("stale"), dict):
+            parsed = parsed["stale"]
+        if parsed.get("value") and n > best_n:
             best, best_n, best_src = parsed, n, os.path.basename(path)
     queue_path = os.path.join(here, "docs", "logs", "chip_queue_bench.json")
     try:
@@ -337,7 +370,13 @@ def main():
 
 def _run_benchmarks():
     # tools/run_chip_queue.py drives variants through these knobs:
-    #   WFT_BENCH_ONLY=primary|muon       run just one line
+    #   WFT_BENCH_ONLY=primary|muon|turbo|lora|small
+    #                                     run just one line; turbo/lora/small
+    #                                     pin that fallback row directly (the
+    #                                     driver configs BASELINE.json lists
+    #                                     include turbo_best and small-LoRA,
+    #                                     which the primary line never
+    #                                     measures — VERDICT r4 item 8)
     #   WFT_BENCH_PRIMARY_OVERRIDES=json  fcfg overrides for the primary line
     #   WFT_BENCH_PRIMARY_BATCH=N         primary per-device batch
     #   WFT_BENCH_PRIMARY_ACCUM=N         primary accum_grad_steps (the
@@ -365,16 +404,27 @@ def _run_benchmarks():
         ("large-v3-turbo full fine-tune (8-bit state)", "large-v3-turbo", 8, False),
         ("small full fine-tune", "small", 16, False),
     ]
+    # Pin one specific fallback row (no fallback chain): the row IS the
+    # measurement target, so an OOM there must surface, not degrade.
+    pinned = {
+        "turbo": "large-v3-turbo full fine-tune (8-bit state)",
+        "lora": "large-v3 LoRA r16",
+        "small": "small full fine-tune",
+    }
+    if only in pinned:
+        attempts = [a for a in attempts if a[0] == pinned[only]]
+        assert attempts, f"no bench row for WFT_BENCH_ONLY={only}"
+
     last_err = None
     if only != "muon":
         for label, name, batch, lora in attempts:
-            is_primary = name == "large-v3" and not lora
+            is_primary = name == "large-v3" and not lora and only not in pinned
             if primary_batch and is_primary:
                 batch = int(primary_batch)
             accum = primary_accum if is_primary else 1
             split = primary_split and is_primary and accum > 1
             try:
-                dims, step_time, value = _bench_model(
+                dims, step_time, value, times = _bench_model(
                     name, batch, lora=lora, accum=accum,
                     steps=3 if accum > 1 else 10,
                     warmup=2,
@@ -388,6 +438,7 @@ def _run_benchmarks():
                         "accum_grad_steps": accum,
                         "microbatch_step_time_s": round(step_time / accum, 3),
                         "manual_backward": split,
+                        "per_step_times_s": [round(t, 3) for t in times],
                     }
                 print(_result_json(label, dims, batch, accum, step_time,
                                    value, extra=extra))
@@ -397,7 +448,7 @@ def _run_benchmarks():
                 print(f"# bench for {label} failed ({type(e).__name__}); trying fallback")
         else:
             raise SystemExit(f"bench failed for all model sizes: {last_err}")
-    if only == "primary":
+    if only == "primary" or only in pinned:
         return
 
     # Second line: the reference's actual flagship workload —
@@ -423,8 +474,9 @@ def _run_benchmarks():
         # triggers a second compile), and averaging it into a 3-step
         # window inflated the flagship to 18.4 s/opt-step when its steady
         # state is ~7.2 s (runs: 98.5, 7.16, 7.18).
-        dims, step_time, value = _bench_model(
-            "large-v3", 6, steps=3, warmup=2, accum=MUON_ACCUM,
+        muon_steps = int(os.environ.get("WFT_BENCH_MUON_STEPS", "3"))
+        dims, step_time, value, times = _bench_model(
+            "large-v3", 6, steps=muon_steps, warmup=2, accum=MUON_ACCUM,
             tx_factory=_muon_flagship_tx, split_update=True,
             manual_backward=manual, manual_precast=manual and precast,
         )
@@ -437,6 +489,7 @@ def _run_benchmarks():
                     "microbatch_step_time_s": round(step_time / MUON_ACCUM, 3),
                     "manual_backward": manual,
                     "manual_precast_weights": manual and precast,
+                    "per_step_times_s": [round(t, 3) for t in times],
                 },
             )
         )

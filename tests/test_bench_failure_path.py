@@ -63,3 +63,32 @@ def test_stale_result_prefers_newer_chip_queue_measurement(tmp_path):
         {"n": 4, "parsed": {"value": 0.058}}))
     rec, src = _load_stale_result(str(tmp_path))
     assert (rec["value"], src) == (0.058, "BENCH_r04.json")
+
+
+def test_stale_result_skips_or_unwraps_failure_envelopes(tmp_path):
+    """Round-4 regression: a driver artifact can itself be a failure
+    envelope ({"error": ..., "stale": {...}}) from a tunnel-down round.
+    It must never be echoed verbatim (unit-less nested garbage); the
+    nested measurement is unwrapped, and a pure-error record (no nested
+    stale) is skipped in favor of the newest real measurement."""
+    sys.path.insert(0, REPO)
+    from bench import _load_stale_result
+
+    (tmp_path / "BENCH_r02.json").write_text(json.dumps(
+        {"n": 2, "parsed": {"value": 0.05, "unit": "audio-hours/sec/chip"}}))
+    # Failure envelope with a nested stale measurement: unwrap it (it is
+    # the newest round, so it wins over r02).
+    (tmp_path / "BENCH_r04.json").write_text(json.dumps(
+        {"n": 4, "parsed": {"error": "bench did not run",
+                            "stale": {"value": 0.0525,
+                                      "unit": "audio-hours/sec/chip"}}}))
+    rec, src = _load_stale_result(str(tmp_path))
+    assert (rec["value"], rec["unit"], src) == (
+        0.0525, "audio-hours/sec/chip", "BENCH_r04.json")
+
+    # A pure error record with nothing to unwrap is skipped entirely.
+    (tmp_path / "BENCH_r05.json").write_text(json.dumps(
+        {"n": 5, "parsed": {"error": "bench did not run",
+                            "reason": "tunnel down"}}))
+    rec, src = _load_stale_result(str(tmp_path))
+    assert (rec["value"], src) == (0.0525, "BENCH_r04.json")

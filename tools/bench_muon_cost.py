@@ -45,7 +45,7 @@ def main():
         (f"muon_ns{k}", muon_tx(k)) for k in (0, 1, 3, 5)
     ]
     for label, factory in cases:
-        _, dt, value = bench._bench_model(
+        _, dt, value, _times = bench._bench_model(
             "large-v3", 6, steps=3, warmup=1, accum=ACCUM, tx_factory=factory
         )
         results[label] = dt
