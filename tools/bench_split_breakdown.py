@@ -69,16 +69,27 @@ def main():
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     dims = get_preset_dims("large-v3")
-    params = init_params(jax.random.PRNGKey(0), dims)
-    trainable, frozen = partition_params(params, None)
     mesh = get_data_mesh()
-    tx = _muon_flagship_tx(trainable)
-    state = TrainState(trainable, frozen, tx.init(trainable),
-                       jnp.zeros((), jnp.int32))
-    state = jax.device_put(state, NamedSharding(mesh, P()))
-    # Drop every extra reference to the param tree: the update program
-    # donates `state`, and stale aliases of donated buffers pin HBM.
-    del params, trainable, frozen
+    tx = None
+
+    def build_state():
+        """Fresh donated-buffer-free TrainState. Rebuilt per variant need:
+        if a variant dies AFTER its buffers were donated (e.g. inside
+        update_jit), the shared state's arrays are deleted and the next
+        variant would fail spuriously on deleted buffers."""
+        nonlocal tx
+        params = init_params(jax.random.PRNGKey(0), dims)
+        trainable, frozen = partition_params(params, None)
+        if tx is None:
+            tx = _muon_flagship_tx(trainable)
+        st = TrainState(trainable, frozen, tx.init(trainable),
+                        jnp.zeros((), jnp.int32))
+        # device_put drops every extra host reference to the param tree:
+        # the update program donates `state`, and stale aliases of donated
+        # buffers pin HBM.
+        return jax.device_put(st, NamedSharding(mesh, P()))
+
+    state = build_state()
 
     fcfg = ForwardConfig(compute_dtype="bfloat16", **dict(resolve_auto_impls()))
     feat = FeaturizeConfig(n_mels=dims.n_mels, spec_augment=True, p=1.0)
@@ -122,6 +133,12 @@ def main():
     for variant in variants:
         step = None
         try:
+            # Rebuild the state if a prior variant's failure left donated
+            # (deleted) buffers behind.
+            if any(getattr(leaf, "is_deleted", lambda: False)()
+                   for leaf in jax.tree_util.tree_leaves(state)):
+                log("state carried deleted (donated) buffers — rebuilding")
+                state = build_state()
             step = step_factory(variant == "manual")
             state, loss = step(state, data, key)  # warm/compile
             rows = []
