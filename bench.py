@@ -72,7 +72,8 @@ def _flops_per_sample(dims) -> float:
 def _bench_model(name: str, batch: int, steps: int = 10, warmup: int = 2,
                  lora: bool = False, accum: int = 1, tx_factory=None,
                  fcfg_overrides=None, split_update: bool = False,
-                 manual_backward: bool = False, manual_precast: bool = False):
+                 manual_backward: bool = False, manual_precast: bool = False,
+                 compiler_options=None):
     from whisper_finetune_tpu.models import ForwardConfig, get_preset_dims, init_params
     from whisper_finetune_tpu.models.lora import apply_lora, lora_scale
     from whisper_finetune_tpu.ops.spec_augment import FeaturizeConfig
@@ -113,6 +114,7 @@ def _bench_model(name: str, batch: int, steps: int = 10, warmup: int = 2,
         mesh, dims, fcfg, tx, 0.1, feat_cfg=feat, max_grad_norm=1.0,
         accum_dtype=None if lora else "bfloat16", split_update=split_update,
         manual_backward=manual_backward, manual_precast=manual_precast,
+        compiler_options=compiler_options,
     )
 
     n_dev = mesh.devices.size
@@ -393,12 +395,19 @@ def _run_benchmarks():
     primary_accum = int(os.environ.get("WFT_BENCH_PRIMARY_ACCUM", "1"))
     primary_split = os.environ.get("WFT_BENCH_PRIMARY_SPLIT", "0") == "1"
 
+    # The primary line bakes in xla_tpu_scoped_vmem_limit_kib=32768: three
+    # independent runs at this exact shape land on 1239.9/1240.6/1240.5 ms
+    # vs 1252-1287 ms at the compiler default (r4 sweep + r5 ladder case
+    # b8_vmem32 — docs/perf_round5.md); 65536 regresses ~5%. Only the
+    # measured shape gets the flag; WFT_COMPILER_OPTIONS overrides.
+    primary_copts = {"xla_tpu_scoped_vmem_limit_kib": "32768"}
     attempts = [
         # batch 8 measured fastest per-sample under full remat + splash
         # encoder/cross (156.6 ms/sample vs 158.7 at batch 6 — chip_queue
         # r4b ladder case cross_splash_batch8, 2026-08-19); every `save:`
         # remat relaxation still OOMs post-reduction-CE (closest miss
-        # +341 MB), so MFU comes from batch, not saved activations.
+        # +341 MB), and every `offload:` case is 17%+ slower than recompute
+        # (r5 ladder), so MFU comes from batch, not saved activations.
         ("large-v3 full fine-tune (8-bit state, bf16 accum)", "large-v3", 8, False),
         ("large-v3 LoRA r16", "large-v3", 8, True),
         ("large-v3-turbo full fine-tune (8-bit state)", "large-v3-turbo", 8, False),
@@ -431,6 +440,11 @@ def _run_benchmarks():
                     fcfg_overrides=primary_overrides if not lora else None,
                     split_update=split, manual_backward=split,
                     manual_precast=split,
+                    compiler_options=(
+                        primary_copts
+                        if is_primary and batch == 8 and not split
+                        else None
+                    ),
                 )
                 extra = None
                 if accum > 1:

@@ -684,6 +684,59 @@ def test_grad_histograms_watch_parity():
         assert int(abs(cr.astype(np.int64) - cz.astype(np.int64)).sum()) <= 2, name
 
 
+def test_split_update_grad_histograms():
+    """In split mode the histograms run as their OWN program on firing
+    steps (no lax.cond inside the accum program — its branch temps are
+    reserved in the program peak even on off-steps and OOM'd the flagship
+    driver, chip_queue r5 e2e). Off steps return reusable zeros; firing
+    steps must match the fused single-program path's histograms."""
+    mesh = get_data_mesh()
+    n_dev = mesh.devices.size
+    dims = DIMS.replace(n_audio_layer=n_dev, n_text_layer=n_dev)
+    tx = optax.adamw(learning_rate=1e-3)
+    rng = np.random.default_rng(11)
+    batch = shard_batch(mesh, {
+        "mel": jnp.asarray(rng.standard_normal(
+            (1, 8, dims.n_mels, dims.n_audio_ctx * 2)).astype(np.float32)),
+        "dec_input": jnp.asarray(
+            rng.integers(0, dims.n_vocab, (1, 8, dims.n_text_ctx)).astype(np.int32)),
+        "dec_output": jnp.asarray(
+            rng.integers(0, dims.n_vocab, (1, 8, dims.n_text_ctx)).astype(np.int32)),
+    })
+    key = jax.random.PRNGKey(0)
+    fcfg_det = ForwardConfig(compute_dtype="float32", stochastic_depth=0.0)
+
+    def build(split):
+        params = init_params(jax.random.PRNGKey(2), dims)
+        trainable, frozen = partition_params(params, None)
+        state = TrainState(
+            trainable, frozen, tx.init(trainable), jnp.zeros((), jnp.int32)
+        )
+        step = make_train_step(
+            mesh, dims, fcfg_det, tx, max_grad_norm=1.0,
+            grad_hist_every=2, grad_hist_bins=32, split_update=split,
+        )
+        return step, state
+
+    step_ref, state_ref = build(False)
+    step_split, state_split = build(True)
+
+    # call 1: (step 0 + 1) % 2 != 0 — both modes return all-zero counts
+    state_ref, _, r1 = step_ref(state_ref, batch, key)
+    state_split, _, s1 = step_split(state_split, batch, key)
+    assert all(int(np.sum(np.asarray(c))) == 0 for c, _, _ in s1.values())
+    # call 2 fires: identical groups, counts, and (scaled) ranges
+    state_ref, _, r2 = step_ref(state_ref, batch, key)
+    state_split, _, s2 = step_split(state_split, batch, key)
+    assert set(s2) == set(r2)
+    for name in r2:
+        cr, lo_r, hi_r = (np.asarray(x) for x in r2[name])
+        cs, lo_s, hi_s = (np.asarray(x) for x in s2[name])
+        np.testing.assert_allclose(lo_r, lo_s, rtol=1e-5, err_msg=name)
+        np.testing.assert_allclose(hi_r, hi_s, rtol=1e-5, err_msg=name)
+        assert int(abs(cr.astype(np.int64) - cs.astype(np.int64)).sum()) <= 2, name
+
+
 def test_split_update_matches_single_program():
     """split_update=True (separate accum and optimizer-update programs — the
     single-chip Muon memory fit) must produce the same parameters and loss

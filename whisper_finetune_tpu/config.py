@@ -122,6 +122,13 @@ _TRAINING_DEFAULTS: Dict[str, Any] = {
     # for encoder self-attention on TPU, XLA everywhere else and off-TPU);
     # explicit values: "xla", "flash", "splash", "flash_fwd".
     "attn_impl": "auto",
+    # Extension: per-program XLA compile options for the train-step
+    # programs (jit(compiler_options=...) — the only channel that reaches
+    # the axon remote compiler). E.g. {xla_tpu_scoped_vmem_limit_kib:
+    # 32768} is a measured ~1-4% win on the primary large-v3 batch-8 step
+    # (docs/perf_round5.md). None = compiler defaults; the
+    # WFT_COMPILER_OPTIONS env JSON overrides this key.
+    "compiler_options": None,
 }
 
 _AUG_DEFAULTS: Dict[str, Any] = {
@@ -265,6 +272,13 @@ def validate_config(config: Dict[str, Any]) -> Dict[str, Any]:
         raise ValueError(
             "training.manual_backward must be 'auto', true, or false, "
             f"got {tr['manual_backward']!r}"
+        )
+    if tr["compiler_options"] is not None and not isinstance(
+        tr["compiler_options"], dict
+    ):
+        raise ValueError(
+            "training.compiler_options must be a mapping of XLA option "
+            f"name -> value, got {type(tr['compiler_options']).__name__}"
         )
 
     opt = out["optimizer"]

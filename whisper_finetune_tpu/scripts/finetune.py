@@ -924,6 +924,7 @@ def main(config: Dict) -> None:
         manual_precast=bool(
             config["training"].get("manual_precast_weights", False)
         ),
+        compiler_options=config["training"].get("compiler_options"),
     )
     eval_step = make_eval_step(dims, fcfg, n_mels=dims.n_mels)
 

@@ -40,22 +40,29 @@ from whisper_finetune_tpu.models.whisper import ForwardConfig, forward_impl
 from whisper_finetune_tpu.parallel.mesh import DATA_AXIS
 
 
-def _step_compiler_options():
-    """Optional per-program XLA compile options for the step programs, from
-    ``WFT_COMPILER_OPTIONS`` (a JSON object, e.g.
-    ``{"xla_tpu_scoped_vmem_limit_kib": "65536"}``).
+def _step_compiler_options(explicit=None):
+    """Per-program XLA compile options for the step programs.
 
-    Experimental perf knob: TPU scheduling/VMEM flags are per-program
-    compile options, and only ``jit(compiler_options=...)`` reaches the
-    axon remote compiler — ``XLA_FLAGS`` in the client env does not.
-    Returns ``None`` (compiler defaults) when unset."""
+    Precedence: the ``WFT_COMPILER_OPTIONS`` env JSON (e.g.
+    ``{"xla_tpu_scoped_vmem_limit_kib": "65536"}``) overrides an
+    ``explicit`` dict (``training.compiler_options`` in the YAML);
+    ``None`` means compiler defaults.
+
+    TPU scheduling/VMEM flags are per-program compile options, and only
+    ``jit(compiler_options=...)`` reaches the axon remote compiler —
+    ``XLA_FLAGS`` in the client env does not.
+    ``xla_tpu_scoped_vmem_limit_kib=32768`` is a measured win on the
+    primary large-v3 batch-8 step (1240 vs 1252-1287 ms across four
+    runs; 65536 regresses ~5% — docs/perf_round5.md)."""
     import json as _json
     import os as _os
 
     raw = _os.environ.get("WFT_COMPILER_OPTIONS")
-    if not raw:
-        return None
-    return {str(k): str(v) for k, v in _json.loads(raw).items()}
+    if raw:
+        return {str(k): str(v) for k, v in _json.loads(raw).items()}
+    if explicit:
+        return {str(k): str(v) for k, v in explicit.items()}
+    return None
 
 Params = Any
 IGNORE_INDEX = -100
@@ -354,6 +361,7 @@ def make_train_step(
     split_update: bool = False,
     manual_backward: bool = False,
     manual_precast: bool = False,
+    compiler_options: Optional[Dict[str, Any]] = None,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray], jnp.ndarray], tuple]:
     """Build the jitted data-parallel train step.
 
@@ -768,20 +776,18 @@ def make_train_step(
         # the update program applies per leaf inside its serialized
         # regions, so no whole-tree fp32 or scaled copy ever exists.
         def device_accum(state, batch, rng, grad_buf):
+            # NO histogram computation in here: a lax.cond branch's temps
+            # (per-leaf fp32 casts + elementwise int32 bin-index trees,
+            # ~1 GB for the big decoder leaves) are reserved in the
+            # program's peak even on off-steps, and the flagship accum
+            # program has ~1.3 GiB headroom on a 16 GB chip — the
+            # hist-in-cond variant OOM'd the real driver (chip_queue r5
+            # e2e) while the hist-free bench fit. Histograms run as their
+            # own program on hist steps only (hist_jit below); the
+            # pre-clip mean scalar they need rides out as `scale`.
             grad_sum, accum_local, loss = accumulate(state, batch, rng, grad_buf)
             grads, g_scale, scale = reduce_sums(grad_sum, accum_local)
-            if grad_hist_every:
-                want = ((state.step + 1) % grad_hist_every) == 0
-                hists = jax.lax.cond(
-                    want,
-                    lambda t: grad_histograms(t, grad_hist_bins, None, DATA_AXIS),
-                    lambda t: _zeros_histograms(t, grad_hist_bins),
-                    grads,
-                )
-                hists = scale_hist_ranges(hists, scale)
-            else:
-                hists = ()
-            return grads, g_scale, loss, hists
+            return grads, g_scale, loss, scale
 
         def device_update(state, grads, g_scale):
             if fused_apply is not None:
@@ -824,7 +830,7 @@ def make_train_step(
                 check_vma=False,
             ),
             donate_argnums=(3,),
-            compiler_options=_step_compiler_options(),
+            compiler_options=_step_compiler_options(compiler_options),
         )
         # grads (arg 1) is NOT donated: its allocation is the persistent
         # accumulator buffer recycled into the next step's accum program.
@@ -837,7 +843,7 @@ def make_train_step(
                 check_vma=False,
             ),
             donate_argnums=(0,),
-            compiler_options=_step_compiler_options(),
+            compiler_options=_step_compiler_options(compiler_options),
         )
 
         rep_sharding = NamedSharding(mesh, rep)
@@ -858,6 +864,27 @@ def make_train_step(
             lambda t: jax.tree_util.tree_map(jnp.zeros_like, t),
             donate_argnums=(0,),
         )
+        # Gradient histograms as their OWN program, dispatched only on
+        # actual hist steps (the host tracks the step counter, so no
+        # lax.cond reserves hist temps inside the hot accum program). It
+        # runs after the update retires, alone against the residents —
+        # grads (arg 0) is read, not donated, and is recycled afterwards.
+        hist_jit = None
+        if grad_hist_every:
+
+            def device_hists(grads, scale):
+                h = grad_histograms(grads, grad_hist_bins, None, DATA_AXIS)
+                return scale_hist_ranges(h, scale)
+
+            hist_jit = jax.jit(
+                shard_map(
+                    device_hists,
+                    mesh=mesh,
+                    in_specs=(rep, rep),
+                    out_specs=rep,
+                    check_vma=False,
+                )
+            )
 
         def split_step(state, batch, rng):
             t0 = time.perf_counter()
@@ -865,7 +892,17 @@ def make_train_step(
             if buf is None:
                 buf = make_grad_buf(state.trainable)
             split_step._grad_buf = None  # consumed (donated) below
-            grads, g_scale, loss, hists = accum_jit(state, batch, rng, buf)
+            grads, g_scale, loss, mean_scale = accum_jit(state, batch, rng, buf)
+            want_hists = False
+            if grad_hist_every:
+                if split_step._host_step is None:
+                    # One scalar fetch, first call only — state.step is
+                    # donated into update_jit below, so read it now.
+                    split_step._host_step = int(state.step)
+                want_hists = (
+                    (split_step._host_step + 1) % grad_hist_every
+                ) == 0
+                split_step._host_step += 1
             # Retire the accumulation program before enqueueing the update
             # (and the update before returning, i.e. before the caller
             # enqueues the next accumulation): PjRt allocates a program's
@@ -881,6 +918,26 @@ def make_train_step(
             new_state = update_jit(state, grads, g_scale)
             _ = int(new_state.step)
             t2 = time.perf_counter()
+            hists = None
+            if grad_hist_every:
+                if want_hists:
+                    hists = hist_jit(grads, mean_scale)
+                    # Retire before zero_buf donates grads out from under it.
+                    _ = float(next(iter(hists.values()))[1])
+                else:
+                    # Off steps are never read by the driver (it logs
+                    # grads_hist/* only at eval steps) — reuse one cached
+                    # host-side zeros record.
+                    if split_step._zero_hists is None:
+                        split_step._zero_hists = {
+                            name: (
+                                np.zeros((grad_hist_bins,), np.int32),
+                                np.float32(0.0),
+                                np.float32(0.0),
+                            )
+                            for name in _hist_groups(grads)
+                        }
+                    hists = split_step._zero_hists
             # Recycle the gradient allocation into the next accum program,
             # zeroed in place (the accum carry initializes from it as-is).
             split_step._grad_buf = zero_buf(grads)
@@ -898,6 +955,8 @@ def make_train_step(
 
         split_step._grad_buf = None
         split_step.last_timing = None
+        split_step._host_step = None
+        split_step._zero_hists = None
 
         # exposed for memory diagnostics (tools/bench_muon_update.py et al.)
         split_step.accum_jit = accum_jit
@@ -914,7 +973,7 @@ def make_train_step(
     )
     return jax.jit(
         sharded, donate_argnums=(0,),
-        compiler_options=_step_compiler_options(),
+        compiler_options=_step_compiler_options(compiler_options),
     )
 
 
