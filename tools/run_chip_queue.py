@@ -353,9 +353,14 @@ def main():
     if "accum8" not in args.skip:
         rc, text = run_step(
             "bench_primary_accum8", [sys.executable, "bench.py"],
+            # batch 5, not 6/8: the round-4 "batch 8 fits" was an abstract
+            # compile analysis (args+temp 15.20 of 15.75 GiB) and the live
+            # bench process OOM'd at batch 6 (r5 queue) — the process's
+            # extra residents eat the margin. tools/run_chip_followup.py
+            # steps down 5 -> 4 automatically.
             dict(bench_env, WFT_BENCH_ONLY="primary",
                  WFT_BENCH_PRIMARY_ACCUM=8, WFT_BENCH_PRIMARY_SPLIT=1,
-                 WFT_BENCH_PRIMARY_BATCH=6, JAX_LOG_COMPILES=1),
+                 WFT_BENCH_PRIMARY_BATCH=5, JAX_LOG_COMPILES=1),
             args.out, 7200)
         res = parse_bench(text)
         report["steps"]["bench_primary_accum8"] = {
